@@ -1,0 +1,81 @@
+"""Benchmark harness: KITTI 640×192 frames/sec/chip on the full train step.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference publishes no throughput numbers (SURVEY.md §6; BASELINE.json
+"published": {}); the driver-defined north star is ≥5× the PyTorch-GPU
+frames/sec/chip at 640×192. ``vs_baseline`` is reported against a documented
+nominal PyTorch-GPU baseline of 40 frames/s/GPU for this model+loss at
+640×192 batch 4 (ResNet18 ×2 frames fwd + mobile decoder fwd/bwd + 4-scale
+epipolar loss, anomaly-detection off), i.e. vs_baseline = fps / 40.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+NOMINAL_PYTORCH_GPU_FPS = 40.0
+
+HEIGHT, WIDTH = 192, 640
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mdn_sfm_tpu import training as T
+    from mdn_sfm_tpu.config import Config, Mode
+    from mdn_sfm_tpu.data.synthetic import synthetic_batch
+
+    cfg = Config(
+        height=HEIGHT,
+        width=WIDTH,
+        batch_size=BATCH,
+        mode=Mode.TG,
+        threshold=9.22,
+        w_d2_sim=0.0,
+        compute_dtype="bfloat16",
+    ).validate()
+
+    models = T.build_models(cfg)
+    variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+    tx = T.make_optimizer(cfg, steps_per_epoch=1000)
+    state, frozen = T.create_train_state(cfg, models, variables, tx)
+    step = T.make_train_step(cfg, models, tx)
+
+    colors, K = synthetic_batch(BATCH, HEIGHT, WIDTH, seed=0)
+    batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+    rng = jax.random.PRNGKey(1)
+
+    # warmup (compile). Sync with an actual host transfer: on some remote
+    # backends block_until_ready returns before execution completes, which
+    # would make the timing fictional.
+    for _ in range(WARMUP):
+        state, metrics, _ = step(state, frozen, batch, rng)
+    float(jax.device_get(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics, _ = step(state, frozen, batch, rng)
+    float(jax.device_get(metrics["loss"]))
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "KITTI 640x192 train-step frames/sec/chip (TG mode, bs4)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / NOMINAL_PYTORCH_GPU_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

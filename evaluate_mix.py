@@ -1,0 +1,116 @@
+"""Mobile-mask evaluation against Detectron2-derived GT masks — THE metric
+path behind the README table (reference: evaluate_mix.py:21-111;
+metric: eval_utils.py:278-292).
+
+Per KITTI-2015 sample: run flow/pose/mobile nets (+ instance-mask provider),
+binarize the mobile map, score accuracy/precision/recall/F1/Dice against the
+GT masks produced by tools/generate_mobile_gt.py, print the mean row.
+
+    python evaluate_mix.py --data_root kitti --version v1 --idx 0 \
+        --gt_mask_path output/mobile_objects_ground_truth --binary_threshold 0.18
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from mdn_sfm_tpu.config import add_eval_args, from_args
+from mdn_sfm_tpu.metrics import binary_image, get_quantitative_results
+
+
+def evaluate(cfg) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from mdn_sfm_tpu import checkpoints as ckpt
+    from mdn_sfm_tpu import training as T
+    from mdn_sfm_tpu.data.eval_datasets import KittiSegDataset, prepare_pair
+    from mdn_sfm_tpu.geometry import scale_factor
+    from mdn_sfm_tpu.losses import epipolar_loss_terms
+    from mdn_sfm_tpu.viz import imwrite, load_as_float, normalize_image
+
+    models = T.build_models(cfg)
+    variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+    # frozen flow/pose from load_weights_folder; mobile from version/idx
+    variables, _, _ = ckpt.load_checkpoint(
+        cfg.load_weights_folder, variables, models_to_load=("flownet", "posenet")
+    )
+    mobile_folder = ckpt.weights_folder(cfg.log_dir, cfg.version, cfg.idx)
+    variables, _, _ = ckpt.load_checkpoint(
+        mobile_folder, variables, models_to_load=("mobile_decoder",)
+    )
+    print(f"-> Loading weights from\n{cfg.load_weights_folder}\n{mobile_folder}")
+
+    fwd = T.make_eval_forward(cfg, models)
+    dataset = KittiSegDataset(cfg.data_root, cfg.height, cfg.width)
+    out_dir = os.path.join(cfg.eval_out_dir, "mobile", f"masks_{cfg.version}_{cfg.idx}")
+    if cfg.save_pred_masks:
+        os.makedirs(out_dir, exist_ok=True)
+
+    print(f"-> Computing predictions with size {cfg.width}x{cfg.height}")
+    print("-> Evaluating\n   Mono evaluation - using median scaling")
+
+    sf = scale_factor(cfg.height, cfg.width)
+    metrics = []
+    for j in range(len(dataset)):
+        inputs = dataset[j]
+        tgt = jnp.asarray(inputs[("color", 0)])[None]
+        ref = jnp.asarray(inputs[("color", 1)])[None]
+        inv_K = jnp.asarray(inputs["inv_K"])[None]
+
+        flows, mobiles, aa, t, cam = fwd(variables, tgt, ref)
+        mobile_mask = mobiles[0]  # (1, H, W, 1)
+        full_flow = flows[0] * sf
+
+        _, post_epip, ori_epip = epipolar_loss_terms(
+            cfg, full_flow, mobile_mask, inv_K, cam[:, :3, :3], cam[:, :3, 3], None, None
+        )
+
+        gt_path = os.path.join(cfg.gt_mask_path, f"{j}.png")
+        if not os.path.exists(gt_path):
+            continue
+        gt_mask = load_as_float(gt_path) / 255.0
+        if gt_mask.ndim == 3:
+            gt_mask = gt_mask[..., 0]
+
+        pred = np.asarray(mobile_mask)[0, ..., 0]
+        if pred.shape != gt_mask.shape:
+            # GT masks are at the original resolution; compare there like the
+            # reference (it scores full-res GT vs net-res mask expanded — we
+            # upsample the prediction to GT resolution)
+            import jax.image
+
+            pred = np.asarray(
+                jax.image.resize(jnp.asarray(pred), gt_mask.shape, method="linear")
+            )
+        metrics.append(
+            get_quantitative_results(binary_image(pred, cfg.binary_threshold), gt_mask)
+        )
+
+        if cfg.save_pred_masks:
+            m = np.asarray(mobile_mask)[0, ..., 0]
+            viz = np.hstack(
+                [
+                    255 * binary_image(m, cfg.binary_threshold),
+                    255 * m,
+                    255 * normalize_image(np.asarray(post_epip)[0, ..., 0]),
+                    255 * normalize_image(np.asarray(ori_epip)[0, ..., 0]),
+                ]
+            ).astype(np.uint8)
+            imwrite(os.path.join(out_dir, f"{j}.png"), viz)
+
+    if cfg.save_pred_masks:
+        print("Evaluation save to --> ", out_dir)
+    result = np.mean(np.array(metrics), axis=0, keepdims=True)
+    print(result)
+    print("\n-> Done!")
+    return result
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="MDN-SfM TPU evaluate_mix")
+    add_eval_args(parser)
+    evaluate(from_args(parser.parse_args()))

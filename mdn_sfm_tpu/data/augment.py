@@ -1,0 +1,172 @@
+"""Fused on-device augmentation (reference: datasets/custom_transforms.py:9-113,
+datasets/mono_dataset.py:73-127).
+
+Everything here runs inside the jitted train step on uint8 batches shipped
+from the host: static shapes, per-sample RNG, one fused XLA program.
+
+Reference-semantics notes:
+* ColorJitter is a NO-OP as shipped — theta=1 forces all jitter params to 0
+  (custom_transforms.py:83-94). Real jitter is available behind
+  ``enable_color_jitter`` (a deliberate fix, SURVEY.md §2 C6).
+* RandomHorizontalFlip p=0.5 adjusts cx ← W − cx (custom_transforms.py:39-40;
+  the reference uses W, not W−1 — preserved).
+* RandomScaleCrop zooms up to 15% then crops back, adjusting K
+  (custom_transforms.py:43-69). The reference resizes to a dynamic integer
+  size then crops; here the resize+crop collapses into one gather-bilinear
+  with continuous scales/offsets — statistically equivalent, static shapes.
+* Normalize mean 0.45 / std 0.225 (mono_dataset.py:51-52).
+* Scales 1..3 are bilinear downsamples of the augmented scale-0 image with
+  K/2ˢ (mono_dataset.py:115-125).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..geometry import bilinear_sample, invert_intrinsics, pixel_coords
+
+Array = jax.Array
+
+MEAN = 0.45
+STD = 0.225
+
+
+def _rgb_to_gray(x: Array) -> Array:
+    return (
+        0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+    )
+
+
+def _color_jitter(colors: Array, rng: Array) -> Array:
+    """Brightness/contrast/saturation jitter with the reference's ranges
+    (custom_transforms.py:84-87), shared across the 3 frames of a sample like
+    torchvision ColorJitter applied per __getitem__ call. Hue is skipped
+    (small range, costly RGB↔HSV on device)."""
+    b = colors.shape[0]
+    kb, kc, ks = jax.random.split(rng, 3)
+    brightness = jax.random.uniform(kb, (b, 1, 1, 1, 1), minval=0.9, maxval=1.1)
+    contrast = jax.random.uniform(kc, (b, 1, 1, 1, 1), minval=0.85, maxval=1.15)
+    saturation = jax.random.uniform(ks, (b, 1, 1, 1, 1), minval=0.85, maxval=1.15)
+
+    x = colors * brightness
+    mean = jnp.mean(_rgb_to_gray(x), axis=(-3, -2), keepdims=True)
+    x = (x - mean) * contrast + mean
+    gray = _rgb_to_gray(x)
+    x = (x - gray) * saturation + gray
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _scale_crop_coords(
+    h: int, w: int, scale_xy: Array, offset_xy: Array
+) -> Array:
+    """Sampling grid for zoom-then-crop: output (i, j) reads the input at
+    ((j + ox + .5)/sx − .5, (i + oy + .5)/sy − .5) — the fusion of
+    resize-to-(h·sy, w·sx) followed by a crop at (oy, ox)."""
+    pc = pixel_coords(h, w)  # (H, W, 2) as (x, y)
+    sx = scale_xy[..., 0][:, None, None]
+    sy = scale_xy[..., 1][:, None, None]
+    ox = offset_xy[..., 0][:, None, None]
+    oy = offset_xy[..., 1][:, None, None]
+    x = (pc[None, ..., 0] + ox + 0.5) / sx - 0.5
+    y = (pc[None, ..., 1] + oy + 0.5) / sy - 0.5
+    return jnp.stack([x, y], axis=-1)  # (B, H, W, 2)
+
+
+def _resize_half(x: Array) -> Array:
+    """Bilinear ×½ downsample on NHWC (torchvision Resize analog for the
+    pyramid, mono_dataset.py:122-125)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear")
+
+
+def augment_batch(
+    cfg: Config,
+    colors_u8: Array,
+    K: Array,
+    rng: Array,
+    train: bool = True,
+    enable_color_jitter: bool = False,
+) -> tuple[dict, dict]:
+    """Apply the full augmentation + pyramid pipeline on device.
+
+    Args:
+        cfg: static config.
+        colors_u8: (B, F, H, W, 3) uint8 frames at base resolution, frame
+            order == cfg.frame_ids (target first).
+        K: (B, 4, 4) intrinsics already rescaled to (W, H)
+            (reference: datasets/kitti_dataset.py:44-57).
+        rng: PRNG key for this step.
+        train: apply random flip/zoom-crop (False = eval normalization only).
+        enable_color_jitter: real jitter (the reference's is a no-op).
+    Returns:
+        (colors, inv_Ks):
+          colors: {(frame_id, scale): (B, Hs, Ws, 3) normalized float32}
+          inv_Ks: {scale: (B, 4, 4)}
+        plus the unnormalized scale-0 target is included under key
+        ("raw", 0, 0) for visualization parity (instance_img analog,
+        mono_dataset.py:111).
+    """
+    b, f, h, w, _ = colors_u8.shape
+    assert f == len(cfg.frame_ids)
+    x = colors_u8.astype(jnp.float32) / 255.0  # (B, F, H, W, 3)
+    K = K.astype(jnp.float32)
+
+    if train:
+        k_jit, k_flip, k_scale, k_off = jax.random.split(rng, 4)
+
+        if enable_color_jitter:
+            x = _color_jitter(x, k_jit)
+
+        # ---- random horizontal flip (per sample)
+        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        x = jnp.where(flip[:, None, None, None, None], x[:, :, :, ::-1, :], x)
+        cx = jnp.where(flip, w - K[:, 0, 2], K[:, 0, 2])
+        K = K.at[:, 0, 2].set(cx)
+
+        # ---- random scale-crop (per sample, zoom ≤ 1.15)
+        scale_xy = jax.random.uniform(k_scale, (b, 2), minval=1.0, maxval=1.15)
+        max_off = jnp.stack(
+            [w * scale_xy[:, 0] - w, h * scale_xy[:, 1] - h], axis=-1
+        )  # (B, 2)
+        offset_xy = jax.random.uniform(k_off, (b, 2)) * max_off
+        coords = _scale_crop_coords(h, w, scale_xy, offset_xy)
+
+        flat = x.reshape(b * f, h, w, 3)
+        coords_f = jnp.repeat(coords, f, axis=0)
+        x = bilinear_sample(flat, coords_f, padding_mode="border").reshape(b, f, h, w, 3)
+
+        # K update (custom_transforms.py:66-69)
+        K = K.at[:, 0, :].multiply(scale_xy[:, 0:1])
+        K = K.at[:, 1, :].multiply(scale_xy[:, 1:2])
+        K = K.at[:, 0, 2].add(-offset_xy[:, 0])
+        K = K.at[:, 1, 2].add(-offset_xy[:, 1])
+
+    colors: dict = {("raw", 0, 0): x[:, 0]}
+    normalized = (x - MEAN) / STD
+
+    inv_Ks: dict = {}
+    num_scales = max(cfg.scales) + 1
+    per_scale = [normalized]
+    for s in range(1, num_scales):
+        prev = per_scale[-1]
+        _, _, hs, ws, c = prev.shape
+        down = _resize_half(prev.reshape(b * f, hs, ws, c))
+        per_scale.append(down.reshape(b, f, hs // 2, ws // 2, c))
+
+    for s in range(num_scales):
+        Ks = K.at[:, 0, :].multiply(1.0 / 2**s).at[:, 1, :].multiply(1.0 / 2**s) if s else K
+        inv_Ks[s] = invert_intrinsics(Ks)
+        for fi, frame_id in enumerate(cfg.frame_ids):
+            colors[(frame_id, s)] = per_scale[s][:, fi]
+
+    return colors, inv_Ks
+
+
+def eval_preprocess(colors_u8: Array) -> Array:
+    """Normalize eval images: /255, mean 0.45, std 0.225
+    (reference: datasets/kitti_dataset.py:93-97)."""
+    return (colors_u8.astype(jnp.float32) / 255.0 - MEAN) / STD

@@ -1,0 +1,58 @@
+"""Split manifest reading (reference: utils.py:318-323, splits/eigen_zhou/).
+
+Manifest lines are ``"<drive_dir> <frame_idx> <l|r>"`` — 39,810 train /
+4,424 val lines in eigen_zhou (SURVEY.md §1 L1). Adds deterministic host
+sharding so each host feeds its own slice of the manifest (one data shard per
+host over DCN — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+
+class SplitLine(NamedTuple):
+    folder: str
+    frame_index: int
+    side: str  # 'l' | 'r'
+
+    @classmethod
+    def parse(cls, line: str) -> "SplitLine":
+        parts = line.split()
+        folder = parts[0]
+        frame_index = int(parts[1]) if len(parts) >= 2 else 0
+        side = parts[2] if len(parts) >= 3 else "l"
+        return cls(folder, frame_index, side)
+
+
+def split_path(repo_root: str, split: str, subset: str) -> str:
+    """Path to ``splits/<split>/<subset>_files.txt`` (trainer.py:59-60).
+
+    Manifests are vendored gzip-compressed (they are dataset file lists);
+    the .gz variant is returned when the plain file is absent."""
+    plain = os.path.join(repo_root, "splits", split, f"{subset}_files.txt")
+    return plain if os.path.exists(plain) else plain + ".gz"
+
+
+def read_split_lines(path: str) -> list[SplitLine]:
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            text = f.read()
+    else:
+        with open(path) as f:
+            text = f.read()
+    return [SplitLine.parse(ln) for ln in text.splitlines() if ln.strip()]
+
+
+def shard_for_host(
+    lines: list[SplitLine], host_id: int | None = None, host_count: int | None = None
+) -> list[SplitLine]:
+    """Static per-host shard of the manifest (strided so drives interleave)."""
+    if host_id is None:
+        import jax
+
+        host_id = jax.process_index()
+        host_count = jax.process_count()
+    return lines[host_id::host_count]

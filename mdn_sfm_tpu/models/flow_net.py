@@ -1,0 +1,115 @@
+"""FlowNet — 2-frame ResNet encoder + top-down flow decoder
+(reference: networks/flow_net_v1.py:17-110).
+
+Contract preserved from the reference:
+- flow predicted at scales 0..3 in NORMALIZED image units (multiply by
+  ``geometry.scale_factor`` for pixels), scaled by
+  flow_scale = relu(s − 1e-3) + 1e-3 with s = 0.1 fixed (or a trainable
+  scalar initialized at 0.01) — flow_net_v1.py:8-9,53-57,67.
+- returns the decoder feature list in coarse→fine reversed order
+  [d0, d1, d2, d3, d4, enc4] with channels [16, 32, 64, 128, 256, 512]
+  (flow_net_v1.py:70-85), which is exactly MobileDecoder's ``num_ch_enc``
+  (mobile_decoder.py:23-24).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import upsample_nearest_2x
+from .layers import Conv3x3, ConvBlock
+from .resnet import ResNetEncoder
+
+Array = jax.Array
+
+SCALE_FLOW = 0.1
+CONSTRAINT_MIN = 1e-3
+
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+class FlowDecoder(nn.Module):
+    """Top-down decoder: per level upsample×2 → ConvBlock → skip-concat →
+    ConvBlock, with 2-channel flow heads at 4 scales
+    (reference: networks/flow_net_v1.py:17-85)."""
+
+    num_ch_enc: tuple[int, ...] = (64, 64, 128, 256, 512)
+    scales: tuple[int, ...] = (0, 1, 2, 3)
+    use_elu: bool = True
+    scale_trainable: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_features: list[Array]) -> tuple[dict[int, Array], list[Array]]:
+        if self.scale_trainable:
+            flow_scale_raw = self.param(
+                "flow_scale", lambda _: jnp.array(0.01, jnp.float32)
+            )
+        else:
+            flow_scale_raw = jnp.array(SCALE_FLOW, jnp.float32)
+        flow_scale = nn.relu(flow_scale_raw - CONSTRAINT_MIN) + CONSTRAINT_MIN
+
+        outputs: dict[int, Array] = {}
+        dec_features: list[Array] = []
+
+        x = input_features[-1]
+        dec_features.append(x)
+        for i in range(4, -1, -1):
+            x = upsample_nearest_2x(x)
+            x = ConvBlock(
+                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+            )(x)
+            if i > 0:
+                x = jnp.concatenate([x, input_features[i - 1].astype(x.dtype)], axis=-1)
+            x = ConvBlock(
+                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+            )(x)
+            dec_features.append(x)
+
+            if i in self.scales:
+                flow = Conv3x3(2, dtype=self.dtype, name=f"pred_flow_{i}")(x)
+                outputs[i] = flow_scale * flow.astype(jnp.float32)
+
+        # [d0, d1, d2, d3, d4, enc4] — 16,32,64,128,256,512 ch
+        return outputs, dec_features[::-1]
+
+
+class FlowNet(nn.Module):
+    """Full flow network (reference: networks/flow_net_v1.py:88-110).
+
+    ``__call__(img1, img2)`` → ({scale: flow (B,Hs,Ws,2)}, decoder features).
+    """
+
+    num_layers: int = 18
+    use_elu: bool = True
+    scale_trainable: bool = False
+    n_ch: int = 0
+    scales: tuple[int, ...] = (0, 1, 2, 3)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, img1: Array, img2: Array, train: bool = False
+    ) -> tuple[dict[int, Array], list[Array]]:
+        x = jnp.concatenate([img1, img2], axis=-1)
+        encoder = ResNetEncoder(
+            num_layers=self.num_layers,
+            num_input_images=2,
+            n_ch=self.n_ch,
+            dtype=self.dtype,
+            name="encoder",
+        )
+        features = encoder(x, train=train)
+        decoder = FlowDecoder(
+            num_ch_enc=encoder.num_ch_enc,
+            scales=self.scales,
+            use_elu=self.use_elu,
+            scale_trainable=self.scale_trainable,
+            dtype=self.dtype,
+            name="decoder",
+        )
+        return decoder(features)

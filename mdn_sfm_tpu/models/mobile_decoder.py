@@ -1,0 +1,70 @@
+"""MobileDecoder — the TRAINABLE network: consumes the flow decoder's feature
+pyramid plus the broadcast 6-DoF pose and emits sigmoid mobile-probability
+maps at 4 scales (reference: networks/mobile_decoder.py:14-85).
+
+Feature contract: ``input_features`` is FlowNet's reversed decoder list
+[d0, d1, d2, d3, d4, enc4] with channels (16, 32, 64, 128, 256, 512) at
+strides (/1, /2, /4, /8, /16, /32). The bottleneck concatenates enc4 with the
+pose broadcast to 6 channels (mobile_decoder.py:64-73); each up-stage i
+concatenates ``input_features[i]`` after its ×2 upsample
+(mobile_decoder.py:74-79).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import upsample_nearest_2x
+from .layers import Conv3x3, ConvBlock
+
+Array = jax.Array
+
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+class MobileDecoder(nn.Module):
+    """Mobile probability decoder (reference: networks/mobile_decoder.py).
+
+    ``__call__(input_features, axisangle, translation)`` →
+    {scale: (B, H/2ˢ, W/2ˢ, 1) sigmoid maps} for scale in ``scales``.
+    """
+
+    num_ch_enc: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    scales: tuple[int, ...] = (0, 1, 2, 3)
+    use_elu: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, input_features: list[Array], axisangle: Array, translation: Array
+    ) -> dict[int, Array]:
+        bottleneck = input_features[-1]
+        b, h, w, _ = bottleneck.shape
+
+        # broadcast pose over the bottleneck spatial extent (mobile_decoder.py:66-68)
+        aa = jnp.broadcast_to(axisangle.reshape(b, 1, 1, 3), (b, h, w, 3))
+        t = jnp.broadcast_to(translation.reshape(b, 1, 1, 3), (b, h, w, 3))
+        x = jnp.concatenate(
+            [bottleneck, aa.astype(bottleneck.dtype), t.astype(bottleneck.dtype)], axis=-1
+        )
+
+        outputs: dict[int, Array] = {}
+        for i in range(4, -1, -1):
+            x = upsample_nearest_2x(x)
+            x = ConvBlock(
+                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+            )(x)
+            x = jnp.concatenate([x, input_features[i].astype(x.dtype)], axis=-1)
+            x = ConvBlock(
+                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+            )(x)
+
+            if i in self.scales:
+                out = Conv3x3(1, dtype=self.dtype, name=f"pred_mobile_{i}")(x)
+                outputs[i] = nn.sigmoid(out.astype(jnp.float32))
+
+        return outputs

@@ -1,0 +1,62 @@
+"""1-D data-parallel mesh over all TPU chips.
+
+Design (SURVEY.md §5): Mesh(('data',)) across every visible device; inputs
+sharded on the batch axis, params/frozen weights replicated. ``jax.jit`` with
+these shardings makes XLA SPMD insert the gradient all-reduce over ICI
+automatically — the model (a few M params) needs no TP/PP.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_data_shards: int = 0, devices: list | None = None) -> Mesh:
+    """Build the 1-D data mesh.
+
+    Args:
+        num_data_shards: number of devices on the 'data' axis; 0 = all
+            visible devices.
+        devices: explicit device list (tests pass CPU devices here).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = num_data_shards or len(devices)
+    return Mesh(np.array(devices[:n]), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host-global batch with its leading axis sharded over the mesh.
+
+    The global batch size must divide by the mesh size; the per-device slice
+    rides to its chip (the host-sharded analog of the reference's
+    pin_memory H2D copies, trainer.py:69-71)."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params, frozen weights) on every device."""
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def global_batch_to_device(mesh: Mesh, batch: Any) -> Any:
+    """Alias kept for call sites that only have a single device."""
+    if np.prod(mesh.devices.shape) == 1:
+        return jax.tree.map(jax.device_put, batch)
+    return shard_batch(mesh, batch)

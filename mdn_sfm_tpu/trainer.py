@@ -1,0 +1,314 @@
+"""Training driver (reference: trainer.py:31-562).
+
+Owns IO and orchestration only — all math lives in the jitted functional core
+(:mod:`mdn_sfm_tpu.training`): epoch loop, TensorBoard logging, checkpoint
+save/load with the reference layout, inline validation, the epipolar
+percentile tool and the hyperparameter grid search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoints as ckpt
+from . import training as T
+from .config import Config, Mode
+from .data import HostLoader, KittiRawDataset, read_split_lines, split_path
+from .data.splits import shard_for_host
+from .data.synthetic import SyntheticDataset
+from .masks import build_mask_provider
+from .parallel import make_mesh, replicate, shard_batch
+from .viz import flow_to_image, normalize_image, sec_to_hm_str
+
+
+class Trainer:
+    """End-to-end training pipeline (reference: Trainer, trainer.py:31-254)."""
+
+    def __init__(self, cfg: Config, synthetic: bool = False):
+        self.cfg = cfg.validate()
+        self.synthetic = synthetic
+        self.save_path = os.path.join(cfg.log_dir, cfg.v_save)
+
+        self.writers = self._make_writers()
+        self._initialize_dataset()
+        self._initialize_models()
+
+        print(f"{jax.devices()[0].platform}: training model {cfg.v_save} (mode={cfg.mode.value})")
+        print(f"Models and tensorboard files save to: {cfg.log_dir}/{cfg.v_save}\n")
+        self.save_opts()
+
+    # ------------------------------------------------------------ setup
+
+    def _make_writers(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return {
+                "train": SummaryWriter(os.path.join(self.save_path, "tb_train")),
+                "val": SummaryWriter(os.path.join(self.save_path, "tb_val")),
+            }
+        except Exception:  # tensorboard optional
+            return None
+
+    def _initialize_dataset(self):
+        cfg = self.cfg
+        if self.synthetic:
+            dataset = SyntheticDataset(max(cfg.batch_size * 8, 64), cfg.height, cfg.width)
+            self.sample_keys = [str(i) for i in range(len(dataset))]
+        else:
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            lines = read_split_lines(split_path(repo_root, cfg.split, "train"))
+            lines = shard_for_host(lines)
+            img_ext = ".png" if cfg.png else ".jpg"
+            dataset = KittiRawDataset(
+                cfg.data_path, lines, cfg.height, cfg.width, cfg.frame_ids, img_ext
+            )
+            self.sample_keys = [f"{l.folder.replace('/', '_')}_{l.frame_index}" for l in lines]
+
+        self.train_loader = HostLoader(
+            dataset,
+            cfg.batch_size,
+            shuffle=True,
+            seed=cfg.seed,
+            num_workers=cfg.num_workers,
+            drop_last=True,
+        )
+        self.steps_per_epoch = len(self.train_loader)
+        self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
+        self.mask_provider = build_mask_provider(cfg)
+        print(f"\n{len(dataset):d} training items\n")
+
+    def _initialize_models(self):
+        cfg = self.cfg
+        self.models = T.build_models(cfg)
+        variables = T.init_variables(cfg, self.models, jax.random.PRNGKey(cfg.seed))
+
+        # load frozen flow/pose (reference: always from v0/weights_0,
+        # trainer.py:146-156) and optionally the mobile decoder
+        folder = ckpt.weights_folder(cfg.log_dir, "v0", 0)
+        to_load = tuple(n for n in cfg.models_to_load if n != "mobile_decoder")
+        if os.path.isdir(folder) and to_load:
+            variables, _, _ = ckpt.load_checkpoint(folder, variables, models_to_load=to_load)
+            print(f"Loaded {to_load} from {folder}")
+        else:
+            print("WARNING: no pretrained flow/pose checkpoint found — training "
+                  f"against randomly initialized supervision ({folder})")
+
+        self.start_step = 0
+        if (cfg.fine_tune_flow_motion or cfg.load_adam) and "mobile_decoder" in cfg.models_to_load:
+            mfolder = ckpt.weights_folder(cfg.log_dir, cfg.v_load, cfg.idx_load)
+            if os.path.isdir(mfolder):
+                variables, _, self.start_step = ckpt.load_checkpoint(
+                    mfolder, variables, models_to_load=("mobile_decoder",)
+                )
+                print(f"Loaded mobile_decoder from {mfolder}")
+
+        self.tx = T.make_optimizer(cfg, self.steps_per_epoch)
+        self.state, self.frozen = T.create_train_state(cfg, self.models, variables, self.tx)
+        if cfg.load_adam:
+            mfolder = ckpt.weights_folder(cfg.log_dir, cfg.v_load, cfg.idx_load)
+            adam = os.path.join(mfolder, "adam.msgpack")
+            if os.path.exists(adam):
+                opt_state = ckpt.load_variables(adam, jax.device_get(self.state.opt_state))
+                self.state = self.state._replace(opt_state=opt_state)
+                print("Loading Adam state...")
+            else:
+                print("Cannot find Adam weights so Adam is randomly initialized")
+
+        self.step_fn = T.make_train_step(cfg, self.models, self.tx)
+
+        # data-parallel placement
+        self.mesh = make_mesh(cfg.num_data_shards)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        if n_dev > 1:
+            assert cfg.batch_size % n_dev == 0, "batch_size must divide the mesh"
+            self.state = replicate(self.mesh, self.state)
+            self.frozen = replicate(self.mesh, self.frozen)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # ----------------------------------------------------------- running
+
+    def save_opts(self):
+        """(reference: trainer.py:97-106)"""
+        self.cfg.save(os.path.join(self.save_path, "models", "opt.json"))
+
+    def save_model(self, idx_save: int):
+        """(reference: trainer.py:108-131)"""
+        folder = ckpt.weights_folder(self.cfg.log_dir, self.cfg.v_save, idx_save)
+        state = jax.device_get(self.state)
+        variables = dict(jax.device_get(self.frozen))
+        # re-attach trainable params into full variable trees
+        variables["mobile_decoder"] = {"params": state.params["mobile_decoder"]}
+        if self.cfg.fine_tune_flow_motion:
+            for n in ("flownet", "posenet"):
+                variables[n] = dict(variables[n])
+                variables[n]["params"] = state.params[n]
+            names = ("flownet", "posenet", "mobile_decoder")
+        else:
+            names = ("mobile_decoder",)
+        ckpt.save_checkpoint(folder, variables, state.opt_state, int(state.step), names)
+
+    def _device_batch(self, arrays: tuple, keys: list[str]) -> dict:
+        colors, K = arrays
+        batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+        if self.mask_provider is not None:
+            masks = self.mask_provider.union_masks(keys, self.cfg.height, self.cfg.width)
+            batch["instance_mask"] = jnp.asarray(masks)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        return shard_batch(self.mesh, batch) if n_dev > 1 else batch
+
+    def train(self):
+        """(reference: trainer.py:213-254)"""
+        cfg = self.cfg
+        self.epoch = 0
+        self.step = self.start_step
+        self.idx_save = 0
+        self.start_time = time.time()
+        for self.epoch in range(cfg.num_epochs):
+            self.run_epoch()
+        self.save_model(self.idx_save)
+
+    def run_epoch(self):
+        cfg = self.cfg
+        for batch_idx, arrays in enumerate(self.train_loader):
+            before = time.time()
+            keys = ["?"] * cfg.batch_size  # loader doesn't carry keys yet
+            batch = self._device_batch(arrays, keys)
+            self.state, metrics, aux = self.step_fn(self.state, self.frozen, batch, self.rng)
+
+            early = batch_idx % cfg.log_frequency == 0 and self.step < 2000
+            late = self.step % 1000 == 0
+            if early or late:
+                loss = float(metrics["loss"])  # sync point only on log steps
+                self.log_time(batch_idx, time.time() - before, loss)
+            if batch_idx % 50 == 0:
+                self.log(metrics, aux, log_image=early or late)
+
+            self.step += 1
+            if self.step % cfg.save_frequency == 0:
+                self.save_model(self.idx_save)
+                self.idx_save += 1
+
+    def log_time(self, batch_idx: int, duration: float, loss: float):
+        """(reference: trainer.py:333-341)"""
+        samples_per_sec = self.cfg.batch_size / max(duration, 1e-9)
+        sofar = time.time() - self.start_time
+        left = (self.num_total_steps / (self.step + 1) - 1.0) * sofar
+        print(
+            f"epoch {self.epoch} | batch {batch_idx:>6} | loss: {loss:.5f} | "
+            f"examples/s: {samples_per_sec:5.1f} | elapsed: {sec_to_hm_str(sofar)} | "
+            f"left: {sec_to_hm_str(left)}"
+        )
+
+    def log(self, metrics: dict, aux, log_image: bool = False, num: int = 4):
+        """TensorBoard scalars + image panels (reference: trainer.py:343-382)."""
+        if self.writers is None:
+            return
+        w = self.writers["train"]
+        for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
+            w.add_scalar(k, float(metrics[k]), self.step)
+        if not log_image:
+            return
+        frame_ids = self.cfg.ref_frame_ids
+        min_mob = np.asarray(aux.min_mobiles[0])
+        n = min(num, min_mob.shape[0])
+        for j in range(n):
+            epip = np.hstack(
+                [normalize_image(np.asarray(aux.epipolars[(i, 0)])[j, ..., 0]) for i in frame_ids]
+            )
+            epip_ori = np.hstack(
+                [normalize_image(np.asarray(aux.epipolar_ori[(i, 0)])[j, ..., 0]) for i in frame_ids]
+            )
+            flows = np.vstack(
+                [flow_to_image(np.asarray(aux.flows[(i, 0)])[j]) for i in frame_ids]
+            )
+            w.add_image(f"{j}/epip", epip[None], self.step)
+            w.add_image(f"{j}/epip_ori", epip_ori[None], self.step)
+            w.add_image(f"{j}/mobile_min", min_mob[j].transpose(2, 0, 1), self.step)
+            w.add_image(
+                f"{j}/mobile_min_bi", (min_mob[j] >= 0.4).astype(np.float32).transpose(2, 0, 1), self.step
+            )
+            w.add_image(f"{j}/flow", flows, self.step, dataformats="HWC")
+
+    # ------------------------------------------------------------- tools
+
+    def epipolar_statics(self, num_quantile: int = 1000, max_batches: int | None = None):
+        """Epipolar percentile statistics over the training set — regenerates
+        the --threshold calibration (reference: trainer.py:521-562, source of
+        the magic 9.22, options.py:84-87)."""
+        cfg = self.cfg
+        from .data.augment import augment_batch
+        from .geometry import scale_factor, epipolar_residual
+
+        percentage = jnp.linspace(0.0, 1.0, num_quantile)
+
+        from .geometry import transformation_from_parameters
+
+        @jax.jit
+        def quantiles(frozen, batch):
+            colors, inv_Ks = augment_batch(cfg, batch["colors_u8"], batch["K"],
+                                           jax.random.PRNGKey(0), train=False)
+            tgt = colors[(0, 0)]
+            res = {}
+            for i in cfg.ref_frame_ids:  # no mobile decoder needed
+                flows, _ = self.models.flow.apply(frozen["flownet"], tgt, colors[(i, 0)])
+                aa, t = self.models.pose.apply(frozen["posenet"], tgt, colors[(i, 0)])
+                cam = transformation_from_parameters(aa, t)
+                f_px = flows[0] * scale_factor(cfg.height, cfg.width)
+                e = jnp.abs(
+                    epipolar_residual(f_px, inv_Ks[0], cam[:, :3, :3], cam[:, :3, 3])
+                )
+                res[i] = jnp.quantile(e.reshape(e.shape[0], -1), percentage, axis=1)
+            return res
+
+        all_q = {i: [] for i in cfg.ref_frame_ids}
+        for bi, arrays in enumerate(self.train_loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            batch = self._device_batch(arrays, ["?"] * cfg.batch_size)
+            q = quantiles(self.frozen, {k: batch[k] for k in ("colors_u8", "K")})
+            for i in cfg.ref_frame_ids:
+                all_q[i].append(np.asarray(q[i]))
+
+        percentiles = np.stack(
+            [np.concatenate(all_q[i], axis=1) for i in cfg.ref_frame_ids]
+        )  # (2, num_quantile, N)
+        os.makedirs(cfg.other_files_path, exist_ok=True)
+        np.save(os.path.join(cfg.other_files_path, f"{cfg.split}_percentiles.npy"), percentiles)
+        thresholds = np.percentile(percentiles.reshape(-1), [80, 85, 88, 90, 92, 95, 98, 99])
+        np.savetxt(os.path.join(cfg.other_files_path, f"{cfg.split}_thresholds"), thresholds)
+        return thresholds
+
+    def hyperparameter_try(self, name: str, values: list[float], batches_per_value: int = 200):
+        """Grid search over one hyperparameter (reference: trainer.py:384-441).
+        Re-jits per value (the config is static) and logs per-value curves."""
+        import dataclasses
+
+        results = {}
+        for turn, v in enumerate(values):
+            print(f"\nEpoch {turn} | {name}={v}:")
+            new_cfg = dataclasses.replace(self.cfg, **{name: v}).validate()
+            tx = T.make_optimizer(new_cfg, self.steps_per_epoch)
+            variables = T.init_variables(new_cfg, self.models, jax.random.PRNGKey(new_cfg.seed))
+            state, frozen = T.create_train_state(new_cfg, self.models, variables, tx)
+            frozen = self.frozen  # keep the loaded frozen nets
+            step_fn = T.make_train_step(new_cfg, self.models, tx)
+
+            last = None
+            for bi, arrays in enumerate(self.train_loader):
+                if bi >= batches_per_value:
+                    break
+                batch = self._device_batch(arrays, ["?"] * new_cfg.batch_size)
+                state, metrics, _ = step_fn(state, frozen, batch, self.rng)
+                if self.writers and bi % 50 == 0:
+                    for k in ("loss", "epip", "smooth", "consis"):
+                        self.writers["train"].add_scalar(f"{v}/{k}", float(metrics[k]), bi)
+                last = float(metrics["loss"])
+            results[v] = last
+        return results

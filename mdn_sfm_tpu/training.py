@@ -1,0 +1,253 @@
+"""Functional training core: model bundle, optimizer, and the jitted
+data-parallel train step.
+
+This is the TPU-native replacement for the reference's imperative
+``Trainer.process_batch`` + backward + Adam step (trainer.py:223-287): one
+pure function, traced once, fused by XLA, sharded over Mesh('data') — the
+gradient all-reduce over ICI is emitted by SPMD partitioning (SURVEY.md §5).
+
+Hot path per step (reference call stack §3.1):
+  on-device augment → for each reference frame: flownet + posenet +
+  mobile-decoder forward → epipolar/smooth/consistency losses over 4 scales
+  → grads on the mobile decoder (and flow/pose iff fine_tune_flow_motion) →
+  global-norm clip → Adam → cosine LR.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import Config
+from .data.augment import augment_batch
+from .geometry import transformation_from_parameters
+from .losses import LossAux, compute_losses
+from .models import FlowNet, MobileDecoder, PoseNet
+
+Array = jax.Array
+
+
+class ModelBundle(NamedTuple):
+    """Static module definitions (reference: trainer.py:139-143)."""
+
+    flow: FlowNet
+    pose: PoseNet
+    mobile: MobileDecoder
+
+
+class TrainState(NamedTuple):
+    """Trainable state. ``params`` always holds 'mobile_decoder' and, when
+    fine-tuning, 'flownet'/'posenet' too (reference: trainer.py:182-189)."""
+
+    params: dict
+    opt_state: Any
+    step: Array
+
+
+def _dtype(cfg: Config):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+
+
+def build_models(cfg: Config) -> ModelBundle:
+    dt = _dtype(cfg)
+    return ModelBundle(
+        flow=FlowNet(
+            num_layers=18,  # FlowNet_v1 hardcodes resnet18 (flow_net_v1.py:90)
+            use_elu=cfg.use_elu,
+            scales=tuple(cfg.scales),
+            dtype=dt,
+        ),
+        pose=PoseNet(num_layers=cfg.num_layers, use_elu=False, dtype=dt),
+        mobile=MobileDecoder(scales=tuple(cfg.scales), use_elu=cfg.use_elu, dtype=dt),
+    )
+
+
+def init_variables(cfg: Config, models: ModelBundle, rng: Array) -> dict:
+    """Initialize all model variables (params + batch_stats) with dummy data.
+
+    Returns {'flownet': vars, 'posenet': vars, 'mobile_decoder': vars}.
+    """
+    k1, k2, k3 = jax.random.split(rng, 3)
+    img = jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32)
+    flow_vars = models.flow.init(k1, img, img)
+    pose_vars = models.pose.init(k2, img, img)
+    _, feats = models.flow.apply(flow_vars, img, img)
+    aa = jnp.zeros((1, 1, 1, 3))
+    mobile_vars = models.mobile.init(k3, feats, aa, aa)
+    return {"flownet": flow_vars, "posenet": pose_vars, "mobile_decoder": mobile_vars}
+
+
+def split_trainable(cfg: Config, variables: dict) -> tuple[dict, dict]:
+    """Split variables into (trainable params, frozen rest).
+
+    Default: only the mobile decoder trains; flow/pose are frozen pretrained
+    nets (reference: trainer.py:182-189). With fine_tune_flow_motion their
+    params join the optimizer (batch stats stay frozen running averages).
+    """
+    trainable = {"mobile_decoder": variables["mobile_decoder"]["params"]}
+    frozen = {
+        "flownet": dict(variables["flownet"]),
+        "posenet": dict(variables["posenet"]),
+    }
+    if cfg.fine_tune_flow_motion:
+        trainable["flownet"] = frozen["flownet"].pop("params")
+        trainable["posenet"] = frozen["posenet"].pop("params")
+    return trainable, frozen
+
+
+def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
+    """Cosine LR.
+
+    Default: single cosine decay over the full run. Legacy: the reference's
+    CosineAnnealingLR(T_max=0.5) stepped with fractional epochs oscillates
+    η₀→0→η₀ every epoch (trainer.py:87,238; options.py:139-142) —
+    η(t) = η₀·(1+cos(2π·t))/2 with t in epochs.
+    """
+    if steps_per_epoch <= 0:
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.legacy_lr_schedule:
+        def sched(step):
+            t = step / steps_per_epoch
+            return cfg.learning_rate * 0.5 * (1.0 + jnp.cos(2.0 * jnp.pi * t))
+        return sched
+    total = steps_per_epoch * cfg.num_epochs
+    return optax.cosine_decay_schedule(cfg.learning_rate, decay_steps=max(total, 1))
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """clip-by-global-norm → Adam(β₁=momentum, β₂=beta) (trainer.py:189,236)."""
+    sched = lr_schedule(cfg, steps_per_epoch)
+    adam = (
+        optax.adamw(sched, b1=cfg.momentum, b2=cfg.beta, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay > 0
+        else optax.adam(sched, b1=cfg.momentum, b2=cfg.beta)
+    )
+    return optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+
+
+def create_train_state(
+    cfg: Config, models: ModelBundle, variables: dict, tx: optax.GradientTransformation
+) -> tuple[TrainState, dict]:
+    trainable, frozen = split_trainable(cfg, variables)
+    opt_state = tx.init(trainable)
+    return TrainState(trainable, opt_state, jnp.zeros((), jnp.int32)), frozen
+
+
+# ------------------------------------------------------------- forward pass
+
+
+def forward_frame(
+    cfg: Config,
+    models: ModelBundle,
+    params: dict,
+    frozen: dict,
+    tgt: Array,
+    ref: Array,
+) -> tuple[dict, dict, Array, Array, Array]:
+    """One target/reference pair through flow + pose + mobile
+    (reference: trainer.py:266-276).
+
+    Returns (flows {scale: (B,Hs,Ws,2)}, mobiles {scale: ...}, axisangle,
+    translation, cam_T_cam).
+    """
+    flow_vars = dict(frozen["flownet"])
+    pose_vars = dict(frozen["posenet"])
+    if "flownet" in params:
+        flow_vars["params"] = params["flownet"]
+        pose_vars["params"] = params["posenet"]
+    bn_train = not cfg.bn_frozen_eval
+
+    flows, feats = models.flow.apply(flow_vars, tgt, ref, train=bn_train)
+    aa, t = models.pose.apply(pose_vars, tgt, ref, train=bn_train)
+
+    if "flownet" not in params:
+        # frozen supervision signal — cut any residual graph
+        flows = jax.lax.stop_gradient(flows)
+        feats = jax.lax.stop_gradient(feats)
+        aa = jax.lax.stop_gradient(aa)
+        t = jax.lax.stop_gradient(t)
+
+    mobiles = models.mobile.apply({"params": params["mobile_decoder"]}, feats, aa, t)
+    cam = transformation_from_parameters(aa, t)
+    return flows, mobiles, aa, t, cam
+
+
+def loss_from_batch(
+    cfg: Config,
+    models: ModelBundle,
+    params: dict,
+    frozen: dict,
+    colors: dict,
+    inv_Ks: dict,
+    instance_mask: Optional[Array],
+) -> tuple[Array, tuple[dict, LossAux]]:
+    """Forward both reference frames and compute the full loss."""
+    tgt = colors[(0, 0)]
+    flows, mobiles, cams = {}, {}, {}
+    for i in cfg.ref_frame_ids:
+        f_i, m_i, _, _, cam_i = forward_frame(cfg, models, params, frozen, tgt, colors[(i, 0)])
+        for s in cfg.scales:
+            flows[(i, s)] = f_i[s]
+            mobiles[(i, s)] = m_i[s]
+        cams[i] = cam_i
+
+    color_by_scale = {s: colors[(0, s)] for s in cfg.scales}
+    losses, aux = compute_losses(
+        cfg, color_by_scale, inv_Ks, flows, mobiles, cams, instance_mask
+    )
+    return losses["loss"], (losses, aux)
+
+
+# --------------------------------------------------------------- train step
+
+
+def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransformation):
+    """Build the jitted train step.
+
+    batch: {'colors_u8': (B, F, H, W, 3) uint8, 'K': (B, 4, 4) float32,
+            optional 'instance_mask': (B, Hm, Wm) float32}
+    Shard the batch's leading axis over Mesh('data') and replicate
+    state/frozen; XLA SPMD emits the grad all-reduce.
+    """
+
+    def step(
+        state: TrainState, frozen: dict, batch: dict, rng: Array
+    ) -> tuple[TrainState, dict, LossAux]:
+        rng = jax.random.fold_in(rng, state.step)
+        colors, inv_Ks = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
+        instance_mask = batch.get("instance_mask")
+
+        def loss_fn(params):
+            return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
+
+        grads, (losses, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, metrics, aux
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def make_eval_forward(cfg: Config, models: ModelBundle):
+    """Jitted eval forward on a normalized image pair
+    (reference: trainer.py:289-314 val / evaluate_mix.py:58-72).
+
+    Returns (flows, mobiles, axisangle, translation, cam_T_cam)."""
+
+    def fwd(variables: dict, tgt: Array, ref: Array):
+        flows, feats = models.flow.apply(variables["flownet"], tgt, ref)
+        aa, t = models.pose.apply(variables["posenet"], tgt, ref)
+        mobiles = models.mobile.apply(variables["mobile_decoder"], feats, aa, t)
+        cam = transformation_from_parameters(aa, t)
+        return flows, mobiles, aa, t, cam
+
+    return jax.jit(fwd)

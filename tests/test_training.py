@@ -1,0 +1,140 @@
+"""End-to-end train-step tests: loss decreases, only intended params update,
+and the data-parallel step runs on a multi-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdn_sfm_tpu import training as T
+from mdn_sfm_tpu.config import Config, Mode
+from mdn_sfm_tpu.data.synthetic import synthetic_batch
+from mdn_sfm_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        height=64,
+        width=96,  # /32-divisible
+        batch_size=2,
+        mode=Mode.SN,
+        w_d2_sim=0.0,
+        compute_dtype="float32",
+        donate_state=False,
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    models = T.build_models(cfg)
+    variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+    return cfg, models, variables
+
+
+def _batch(cfg, seed=0):
+    colors, K = synthetic_batch(cfg.batch_size, cfg.height, cfg.width, seed=seed)
+    return {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+
+
+class TestTrainStep:
+    def test_runs_and_metrics_finite(self, setup):
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        state, metrics, aux = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
+            assert np.isfinite(float(metrics[k])), k
+        assert int(state.step) == 1
+        assert aux.min_mobiles[0].shape == (cfg.batch_size, cfg.height, cfg.width, 1)
+
+    def test_only_mobile_params_train(self, setup):
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        assert set(state.params) == {"mobile_decoder"}
+        step = T.make_train_step(cfg, models, tx)
+        new_state, _, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        # params actually moved
+        delta = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+        )
+        assert max(jax.tree.leaves(delta)) > 0
+
+    def test_fine_tune_includes_flow_pose(self, setup):
+        cfg0, models, variables = setup
+        cfg = tiny_cfg(fine_tune_flow_motion=True)
+        trainable, frozen = T.split_trainable(cfg, variables)
+        assert set(trainable) == {"mobile_decoder", "flownet", "posenet"}
+        assert "params" not in frozen["flownet"]
+        assert "batch_stats" in frozen["flownet"]
+
+    def test_loss_decreases(self, setup):
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=0)  # constant LR
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        batch = _batch(cfg)
+        rng = jax.random.PRNGKey(2)
+        first = None
+        for i in range(8):
+            state, metrics, _ = step(state, frozen, batch, rng)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_grad_clipping(self, setup):
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        _, metrics, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["grad_norm"]))
+
+
+class TestLrSchedule:
+    def test_default_cosine_decays(self):
+        cfg = tiny_cfg(num_epochs=2)
+        sched = T.lr_schedule(cfg, steps_per_epoch=100)
+        assert float(sched(0)) == pytest.approx(cfg.learning_rate)
+        assert float(sched(199)) < float(sched(0)) * 0.01 + 1e-9
+
+    def test_legacy_oscillates_per_epoch(self):
+        """The reference quirk: LR returns to η₀ at each epoch boundary and
+        hits 0 mid-epoch (trainer.py:238 + options.py:139-142)."""
+        cfg = tiny_cfg(legacy_lr_schedule=True)
+        sched = T.lr_schedule(cfg, steps_per_epoch=100)
+        assert float(sched(0)) == pytest.approx(cfg.learning_rate)
+        assert float(sched(50)) == pytest.approx(0.0, abs=1e-9)
+        assert float(sched(100)) == pytest.approx(cfg.learning_rate, rel=1e-6)
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self, setup):
+        """The pjit-style sharded step produces the same loss as the
+        replicated single-device run (batch math is identical; grads
+        all-reduce over the mesh)."""
+        cfg, models, variables = setup
+        devices = jax.devices()
+        assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+
+        cfg8 = tiny_cfg(batch_size=8)
+        tx = T.make_optimizer(cfg8, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg8, models, variables, tx)
+        step = T.make_train_step(cfg8, models, tx)
+        batch = _batch(cfg8)
+
+        # single device
+        _, m_single, _ = step(state, frozen, batch, jax.random.PRNGKey(3))
+
+        # 8-way data parallel
+        mesh = make_mesh(8)
+        state_r = replicate(mesh, state)
+        frozen_r = replicate(mesh, frozen)
+        batch_s = shard_batch(mesh, batch)
+        _, m_sharded, _ = step(state_r, frozen_r, batch_s, jax.random.PRNGKey(3))
+
+        assert float(m_sharded["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
