@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..geometry import bilinear_sample, invert_intrinsics, pixel_coords
+from ..geometry import invert_intrinsics
 
 Array = jax.Array
 
@@ -60,20 +60,25 @@ def _color_jitter(colors: Array, rng: Array) -> Array:
     return jnp.clip(x, 0.0, 1.0)
 
 
-def _scale_crop_coords(
-    h: int, w: int, scale_xy: Array, offset_xy: Array
-) -> Array:
-    """Sampling grid for zoom-then-crop: output (i, j) reads the input at
-    ((j + ox + .5)/sx − .5, (i + oy + .5)/sy − .5) — the fusion of
-    resize-to-(h·sy, w·sx) followed by a crop at (oy, ox)."""
-    pc = pixel_coords(h, w)  # (H, W, 2) as (x, y)
-    sx = scale_xy[..., 0][:, None, None]
-    sy = scale_xy[..., 1][:, None, None]
-    ox = offset_xy[..., 0][:, None, None]
-    oy = offset_xy[..., 1][:, None, None]
-    x = (pc[None, ..., 0] + ox + 0.5) / sx - 0.5
-    y = (pc[None, ..., 1] + oy + 0.5) / sy - 0.5
-    return jnp.stack([x, y], axis=-1)  # (B, H, W, 2)
+def _interp_matrix(n: int, coords: Array) -> Array:
+    """Per-sample 1-D linear-interpolation matrix.
+
+    Args:
+        n: input length.
+        coords: (B, n_out) continuous input coordinates per output index.
+    Returns:
+        (B, n_out, n) weights W with out = W @ in (border clamped).
+
+    This is the MXU-friendly form of the zoom-crop resample: a separable
+    bilinear warp is two tiny batched matmuls instead of a 2-D gather (which
+    is what dominates the step time on TPU — gathers don't vectorize).
+    """
+    x0 = jnp.floor(coords)
+    f = coords - x0
+    i0 = jnp.clip(x0.astype(jnp.int32), 0, n - 1)
+    i1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, n - 1)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    return eye[i0] * (1.0 - f)[..., None] + eye[i1] * f[..., None]
 
 
 def _resize_half(x: Array) -> Array:
@@ -103,12 +108,11 @@ def augment_batch(
         train: apply random flip/zoom-crop (False = eval normalization only).
         enable_color_jitter: real jitter (the reference's is a no-op).
     Returns:
-        (colors, inv_Ks):
+        (colors, inv_Ks, raw0):
           colors: {(frame_id, scale): (B, Hs, Ws, 3) normalized float32}
           inv_Ks: {scale: (B, 4, 4)}
-        plus the unnormalized scale-0 target is included under key
-        ("raw", 0, 0) for visualization parity (instance_img analog,
-        mono_dataset.py:111).
+          raw0: (B, H, W, 3) unnormalized [0,1] scale-0 target, for
+            visualization parity (instance_img analog, mono_dataset.py:111).
     """
     b, f, h, w, _ = colors_u8.shape
     assert f == len(cfg.frame_ids)
@@ -121,23 +125,32 @@ def augment_batch(
         if enable_color_jitter:
             x = _color_jitter(x, k_jit)
 
-        # ---- random horizontal flip (per sample)
+        # ---- random horizontal flip (per sample): folded into the x-axis
+        # resample below (no extra image pass); cx ← W − cx
+        # (custom_transforms.py:39-40)
         flip = jax.random.bernoulli(k_flip, 0.5, (b,))
-        x = jnp.where(flip[:, None, None, None, None], x[:, :, :, ::-1, :], x)
         cx = jnp.where(flip, w - K[:, 0, 2], K[:, 0, 2])
         K = K.at[:, 0, 2].set(cx)
 
-        # ---- random scale-crop (per sample, zoom ≤ 1.15)
+        # ---- random scale-crop (per sample, zoom ≤ 1.15): output pixel
+        # (i, j) samples the (flipped) input at ((j+ox+.5)/sx−.5,
+        # (i+oy+.5)/sy−.5) — the fusion of resize-to-(h·sy, w·sx) + crop.
+        # The warp is separable, so it runs as two batched matmuls.
         scale_xy = jax.random.uniform(k_scale, (b, 2), minval=1.0, maxval=1.15)
         max_off = jnp.stack(
             [w * scale_xy[:, 0] - w, h * scale_xy[:, 1] - h], axis=-1
         )  # (B, 2)
         offset_xy = jax.random.uniform(k_off, (b, 2)) * max_off
-        coords = _scale_crop_coords(h, w, scale_xy, offset_xy)
 
-        flat = x.reshape(b * f, h, w, 3)
-        coords_f = jnp.repeat(coords, f, axis=0)
-        x = bilinear_sample(flat, coords_f, padding_mode="border").reshape(b, f, h, w, 3)
+        in_x = (jnp.arange(w)[None] + offset_xy[:, 0:1] + 0.5) / scale_xy[:, 0:1] - 0.5
+        in_y = (jnp.arange(h)[None] + offset_xy[:, 1:2] + 0.5) / scale_xy[:, 1:2] - 0.5
+        in_x = jnp.where(flip[:, None], (w - 1) - in_x, in_x)  # fold the flip
+        Wx = _interp_matrix(w, in_x)  # (B, W, W)
+        Wy = _interp_matrix(h, in_y)  # (B, H, H)
+
+        hi = jax.lax.Precision.HIGHEST  # keep interpolation exact in f32
+        x = jnp.einsum("bih,bfhwc->bfiwc", Wy, x, precision=hi)
+        x = jnp.einsum("bjw,bfiwc->bfijc", Wx, x, precision=hi)
 
         # K update (custom_transforms.py:66-69)
         K = K.at[:, 0, :].multiply(scale_xy[:, 0:1])
@@ -145,7 +158,8 @@ def augment_batch(
         K = K.at[:, 0, 2].add(-offset_xy[:, 0])
         K = K.at[:, 1, 2].add(-offset_xy[:, 1])
 
-    colors: dict = {("raw", 0, 0): x[:, 0]}
+    colors: dict = {}
+    raw0 = x[:, 0]
     normalized = (x - MEAN) / STD
 
     inv_Ks: dict = {}
@@ -163,7 +177,7 @@ def augment_batch(
         for fi, frame_id in enumerate(cfg.frame_ids):
             colors[(frame_id, s)] = per_scale[s][:, fi]
 
-    return colors, inv_Ks
+    return colors, inv_Ks, raw0
 
 
 def eval_preprocess(colors_u8: Array) -> Array:

@@ -18,6 +18,10 @@ import numpy as np
 class HostLoader:
     """Shuffling, batching, prefetching loader over a map-style dataset.
 
+    Iterating yields ``(arrays, indices)``: the stacked item arrays and the
+    dataset indices of the batch (for keyed side inputs like precomputed
+    instance masks).
+
     Args:
         dataset: object with __len__ and __getitem__ → tuple of np arrays.
         batch_size: global host batch size.
@@ -83,7 +87,7 @@ class HostLoader:
                 items = [self.dataset[int(i)] for i in idxs]
                 cols = tuple(np.stack([it[k] for it in items]) for k in range(len(items[0])))
                 with lock:
-                    results[bi] = cols
+                    results[bi] = (cols, idxs)
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:

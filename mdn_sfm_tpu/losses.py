@@ -228,7 +228,7 @@ def epipolar_loss_terms(
 
 def compute_losses(
     cfg: Config,
-    colors: Mapping[int, Array],
+    colors: Mapping[tuple[int, int], Array],
     inv_Ks: Mapping[int, Array],
     flows: Mapping[tuple[int, int], Array],
     mobiles: Mapping[tuple[int, int], Array],
@@ -240,7 +240,9 @@ def compute_losses(
 
     Args:
         cfg: static config (mode, weights, flags).
-        colors: {scale: (B, Hs, Ws, 3) target image} (normalized).
+        colors: {(frame_id, scale): (B, Hs, Ws, 3) normalized image}; the
+            target is frame 0. Reference frames are only read when the
+            photometric term is enabled.
         inv_Ks: {scale: (B, 3+, 3+) inverse intrinsics}.
         flows: {(frame_id, scale): (B, Hs, Ws, 2) NORMALIZED flow from the
                flow net; multiplied by [Ws, Hs] here
@@ -249,7 +251,7 @@ def compute_losses(
         cam_T_cams: {frame_id: (B, 4, 4)}.
         instance_mask: (B, Hm, Wm) instance-union mask in [0,1], or None.
     Returns:
-        (losses dict with keys loss/epip/smooth/consis, LossAux).
+        (losses dict with keys loss/epip/smooth/consis[/photo], LossAux).
     """
     frame_ids = cfg.ref_frame_ids
     gauss = (
@@ -262,11 +264,14 @@ def compute_losses(
 
     zero = jnp.zeros((), jnp.float32)
     losses = {"epip": zero, "smooth": zero, "consis": zero}
+    use_photo = not cfg.disable_photoloss
+    if use_photo:
+        losses["photo"] = zero
     aux = LossAux({}, {}, {}, {})
 
     for s in cfg.scales:
         avg = float(2**s)
-        tgt = colors[s]
+        tgt = colors[(0, s)]
         _, hs, ws, _ = tgt.shape
         sf = scale_factor(hs, ws)
 
@@ -288,6 +293,14 @@ def compute_losses(
             if not cfg.disable_smoothloss:
                 losses["smooth"] = losses["smooth"] + smooth_loss(tgt, mobile) / avg
 
+            if use_photo:
+                # flag-gated photometric term (present but disconnected in
+                # the shipped reference head, loss_functions.py:48-50,107-115)
+                photo, _, _, _ = photometric_loss(
+                    tgt, colors[(i, s)], flow_px, use_ssim=not cfg.no_ssim
+                )
+                losses["photo"] = losses["photo"] + photo / avg
+
             T = cam_T_cams[i]
             epip_loss, post, ori = epipolar_loss_terms(
                 cfg, flow_px, mobile, inv_Ks[s], T[:, :3, :3], T[:, :3, 3],
@@ -303,4 +316,6 @@ def compute_losses(
     losses["loss"] = (
         cfg.w_e * losses["epip"] + cfg.w_s * losses["smooth"] + cfg.w_c * losses["consis"]
     )
+    if use_photo:
+        losses["loss"] = losses["loss"] + cfg.w_p * losses["photo"]
     return losses, aux

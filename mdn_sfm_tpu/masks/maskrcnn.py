@@ -1,0 +1,646 @@
+"""Mask R-CNN R50-FPN inference in JAX — static-shape TPU replacement for the
+reference's frozen detectron2 model (trainer.py:165-179, Cityscapes
+``mask_rcnn_R_50_FPN`` config, custom 11-class KITTI weights).
+
+Every dynamic structure in detectron2 (variable proposal/instance counts,
+per-class NMS lists) becomes a fixed-size tensor with a validity mask — the
+TPU-idiomatic shape fix (SURVEY.md §7 hard parts). The pipeline:
+
+  BGR caffe-normalized image → ResNet-50 (stride_in_1x1, frozen BN) → FPN
+  P2..P6 → RPN head → per-level top-k + joint NMS (fixed post_nms_topk) →
+  ROIAlign 7×7 → box head (2×FC1024) → class-offset NMS (fixed max_det) →
+  ROIAlign 14×14 on detections → mask head → 28×28 masks → paste.
+
+Weight import from the reference's ``model_final_detectron2.pth`` is in
+:func:`import_detectron2_pth`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.resnet import Bottleneck, _bn, _conv
+
+Array = jax.Array
+
+# --- detectron2 Cityscapes mask_rcnn_R_50_FPN config + reference overrides
+PIXEL_MEAN_BGR = (103.53, 116.28, 123.675)  # caffe2 means, std 1
+MIN_SIZE_TEST = 1024          # trainer.py:174
+MAX_SIZE_TEST = 2048          # Cityscapes config
+ANCHOR_SIZES = (32, 64, 128, 256, 512)      # per FPN level P2..P6
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+RPN_PRE_NMS_TOPK = 1000       # per level, test
+RPN_POST_NMS_TOPK = 1000
+RPN_NMS_THRESH = 0.7
+BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+ROI_SCORE_THRESH = 0.3        # trainer.py:175
+ROI_NMS_THRESH = 0.5
+NUM_CLASSES = 11              # trainer.py:172
+MASK_RES = 28
+
+
+# ------------------------------------------------------------------ modules
+
+
+class D2ResNet50(nn.Module):
+    """detectron2-style ResNet-50 trunk → (C2, C3, C4, C5)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> list[Array]:
+        x = _conv(64, 7, 2, self.dtype, "stem_conv1")(x)
+        x = nn.relu(_bn("stem_bn1", self.dtype, train=False)(x))
+        x = nn.max_pool(
+            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf),
+            (3, 3), strides=(2, 2), padding="VALID",
+        )
+        feats = []
+        for stage, (width, n_blocks) in enumerate(zip((64, 128, 256, 512), (3, 4, 6, 3))):
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    width, stride if b == 0 else 1, self.dtype, stride_in_1x1=True,
+                    name=f"res{stage + 2}_{b}",
+                )(x, train=False)
+            feats.append(x)
+        return feats  # C2..C5 at /4../32
+
+
+class FPN(nn.Module):
+    """Lateral 1×1 + top-down nearest + output 3×3 → P2..P6 (256ch)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, c_feats: list[Array]) -> list[Array]:
+        conv = lambda k, name: nn.Conv(  # noqa: E731
+            256, (k, k), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        laterals = [conv(1, f"fpn_lateral{i + 2}")(c) for i, c in enumerate(c_feats)]
+        # top-down
+        p = [None] * 4
+        p[3] = laterals[3]
+        for i in (2, 1, 0):
+            up = jnp.repeat(jnp.repeat(p[i + 1], 2, axis=1), 2, axis=2)
+            p[i] = laterals[i] + up[:, : laterals[i].shape[1], : laterals[i].shape[2]]
+        outs = [conv(3, f"fpn_output{i + 2}")(pi) for i, pi in enumerate(p)]
+        p6 = nn.max_pool(outs[3], (1, 1), strides=(2, 2), padding="VALID")
+        return outs + [p6]  # P2..P6
+
+
+class RPNHead(nn.Module):
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: list[Array]) -> tuple[list[Array], list[Array]]:
+        conv = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")
+        obj = nn.Conv(len(ANCHOR_RATIOS), (1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="objectness_logits")
+        deltas = nn.Conv(4 * len(ANCHOR_RATIOS), (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="anchor_deltas")
+        logits, boxes = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(obj(t).astype(jnp.float32))
+            boxes.append(deltas(t).astype(jnp.float32))
+        return logits, boxes
+
+
+class BoxHead(nn.Module):
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> tuple[Array, Array]:
+        # x: (R, 7, 7, 256). detectron2 flattens NCHW — transpose to match
+        # the FC weight layout for .pth import.
+        r = x.shape[0]
+        x = x.transpose(0, 3, 1, 2).reshape(r, -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x))
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x))
+        scores = nn.Dense(NUM_CLASSES + 1, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="cls_score")(x)
+        deltas = nn.Dense(NUM_CLASSES * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="bbox_pred")(x)
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+class MaskHead(nn.Module):
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: (R, 14, 14, 256) → (R, 28, 28, NUM_CLASSES)
+        for i in range(4):
+            x = nn.relu(
+                nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"mask_fcn{i + 1}")(x.astype(self.dtype))
+            )
+        x = nn.relu(
+            nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=self.dtype,
+                             param_dtype=jnp.float32, name="deconv")(x)
+        )
+        x = nn.Conv(NUM_CLASSES, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="predictor")(x)
+        return x.astype(jnp.float32)
+
+
+# ------------------------------------------------------------ box utilities
+
+
+def anchors_for_level(h: int, w: int, stride: int, size: float) -> np.ndarray:
+    """(H*W*A, 4) XYXY anchors, detectron2 grid convention (centers at
+    stride·(i, j))."""
+    out = []
+    for ratio in ANCHOR_RATIOS:
+        area = size * size
+        aw = np.sqrt(area / ratio)
+        ah = aw * ratio
+        out.append((-aw / 2, -ah / 2, aw / 2, ah / 2))
+    base = np.array(out, np.float32)  # (A, 4)
+    xs = np.arange(w, dtype=np.float32) * stride
+    ys = np.arange(h, dtype=np.float32) * stride
+    sx, sy = np.meshgrid(xs, ys, indexing="xy")
+    shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)  # (HW, 1, 4)
+    return (shifts + base[None]).reshape(-1, 4)
+
+
+def decode_boxes(anchors: Array, deltas: Array, weights=(1.0, 1.0, 1.0, 1.0)) -> Array:
+    """detectron2 Box2BoxTransform.apply_deltas (dx,dy,dw,dh)."""
+    wx, wy, ww, wh = weights
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + 0.5 * aw
+    ay = anchors[:, 1] + 0.5 * ah
+
+    dx = deltas[:, 0] / wx
+    dy = deltas[:, 1] / wy
+    dw = jnp.clip(deltas[:, 2] / ww, a_max=4.135)  # log(1000/16)
+    dh = jnp.clip(deltas[:, 3] / wh, a_max=4.135)
+
+    cx = dx * aw + ax
+    cy = dy * ah + ay
+    w = jnp.exp(dw) * aw
+    h = jnp.exp(dh) * ah
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def clip_boxes(boxes: Array, height: Array, width: Array) -> Array:
+    x1 = jnp.clip(boxes[:, 0], 0, width)
+    y1 = jnp.clip(boxes[:, 1], 0, height)
+    x2 = jnp.clip(boxes[:, 2], 0, width)
+    y2 = jnp.clip(boxes[:, 3], 0, height)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def iou_matrix(a: Array, b: Array) -> Array:
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+
+def nms_fixed(boxes: Array, scores: Array, iou_thresh: float, max_out: int) -> tuple[Array, Array]:
+    """Greedy NMS with static output size.
+
+    Returns (keep_idx (max_out,), keep_valid (max_out,) bool). The O(N²) IoU
+    matrix is materialized once; the greedy pass is a fori_loop of vector ops
+    — fine on TPU for N ≤ a few thousand.
+    """
+    n = boxes.shape[0]
+    iou = iou_matrix(boxes, boxes)
+
+    def body(i, carry):
+        alive, keep, valid = carry
+        masked = jnp.where(alive, scores, -jnp.inf)
+        j = jnp.argmax(masked)
+        ok = masked[j] > -jnp.inf
+        keep = keep.at[i].set(jnp.where(ok, j.astype(jnp.int32), 0))
+        valid = valid.at[i].set(ok)
+        # iou[j, j] == 1 > thresh, so suppressing also retires j itself
+        alive = jnp.where(ok, alive & (iou[j] <= iou_thresh), alive)
+        return alive, keep, valid
+
+    alive0 = jnp.ones((n,), bool)
+    keep0 = jnp.zeros((max_out,), jnp.int32)
+    valid0 = jnp.zeros((max_out,), bool)
+    _, keep, valid = jax.lax.fori_loop(0, max_out, body, (alive0, keep0, valid0))
+    return keep, valid
+
+
+def roi_align(feat: Array, boxes: Array, out_size: int, stride: float, sampling: int = 2) -> Array:
+    """ROIAlign-v2 (aligned, continuous coordinates) on one FPN level.
+
+    Args:
+        feat: (H, W, C) one level's features.
+        boxes: (R, 4) XYXY in image coordinates.
+        out_size: output bins per side (7 box / 14 mask).
+        stride: the level's stride (feature → image scale).
+        sampling: sample points per bin side (detectron2 adaptive ratio ≈ 2
+            at test scales; fixed here for static shapes).
+    Returns:
+        (R, out_size, out_size, C)
+    """
+    h, w, c = feat.shape
+    boxes = boxes / stride  # to feature coords, aligned=True (pixel centers)
+
+    def one_box(box):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        n = out_size * sampling
+        # sample centers of n×n sub-bins
+        xs = x1 + (jnp.arange(n) + 0.5) * bw / n - 0.5
+        ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
+
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        wx = (xs - x0)[None, :, None]
+        wy = (ys - y0)[:, None, None]
+
+        def gather(yi, xi):
+            yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+            xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            return feat[yc[:, None], xc[None, :]]  # (n, n, C)
+
+        v = (
+            gather(y0, x0) * (1 - wy) * (1 - wx)
+            + gather(y0, x0 + 1) * (1 - wy) * wx
+            + gather(y0 + 1, x0) * wy * (1 - wx)
+            + gather(y0 + 1, x0 + 1) * wy * wx
+        )
+        # average the sampling×sampling sub-bins
+        v = v.reshape(out_size, sampling, out_size, sampling, c).mean((1, 3))
+        return v
+
+    return jax.vmap(one_box)(boxes)
+
+
+def assign_fpn_level(boxes: Array) -> Array:
+    """FPN level for each box: ⌊4 + log2(√area/224)⌋ clamped to [2, 5]."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    lvl = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224 + 1e-8))
+    return jnp.clip(lvl, 2, 5).astype(jnp.int32)
+
+
+def multilevel_roi_align(feats: list[Array], boxes: Array, out_size: int) -> Array:
+    """ROIAlign over P2..P5 with per-box level assignment. Computes each
+    level for all boxes and selects — static shapes beat gather-by-level on
+    TPU for R ≲ 1k."""
+    lvl = assign_fpn_level(boxes)
+    pooled = None
+    for i, feat in enumerate(feats[:4]):  # P2..P5
+        p = roi_align(feat, boxes, out_size, stride=float(2 ** (i + 2)))
+        sel = (lvl == i + 2)[:, None, None, None]
+        pooled = p * sel if pooled is None else pooled + p * sel
+    return pooled
+
+
+def paste_masks(masks28: Array, boxes: Array, out_h: int, out_w: int) -> Array:
+    """Paste (R, 28, 28) mask logits into an (R, out_h, out_w) canvas by
+    inverse bilinear sampling (detectron2 paste_masks_in_image analog)."""
+
+    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+
+    def one(mask, box):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        # image pixel → mask coordinate
+        mx = (xs - x1) / bw * MASK_RES - 0.5
+        my = (ys - y1) / bh * MASK_RES - 0.5
+        x0 = jnp.floor(mx)
+        y0 = jnp.floor(my)
+        wx = (mx - x0)[None, :]
+        wy = (my - y0)[:, None]
+
+        def g2(yi, xi):
+            ymask = (yi >= 0) & (yi <= MASK_RES - 1)
+            xmask = (xi >= 0) & (xi <= MASK_RES - 1)
+            yc = jnp.clip(yi.astype(jnp.int32), 0, MASK_RES - 1)
+            xc = jnp.clip(xi.astype(jnp.int32), 0, MASK_RES - 1)
+            return mask[yc[:, None], xc[None, :]] * (ymask[:, None] & xmask[None, :])
+
+        v = (
+            g2(y0, x0) * (1 - wy) * (1 - wx)
+            + g2(y0, x0 + 1) * (1 - wy) * wx
+            + g2(y0 + 1, x0) * wy * (1 - wx)
+            + g2(y0 + 1, x0 + 1) * wy * wx
+        )
+        return v
+
+    return jax.vmap(one)(masks28, boxes)
+
+
+# -------------------------------------------------------------- full model
+
+
+class Detections(NamedTuple):
+    boxes: Array    # (max_det, 4) XYXY in input-image coords
+    scores: Array   # (max_det,)
+    classes: Array  # (max_det,) int32 category ids (0..NUM_CLASSES-1)
+    masks28: Array  # (max_det, 28, 28) probabilities
+    valid: Array    # (max_det,) bool
+
+
+class MaskRCNN(nn.Module):
+    """Full static-shape inference graph. Input: one caffe-BGR-normalized
+    image (H, W, 3) padded to static size + its true (height, width).
+
+    The top-k/NMS sizes are attributes so tests can shrink them; defaults
+    match detectron2 test-time config."""
+
+    max_det: int = 32
+    pre_nms_topk: int = RPN_PRE_NMS_TOPK
+    post_nms_topk: int = RPN_POST_NMS_TOPK
+    box_candidates: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image: Array, true_h: Array, true_w: Array) -> Detections:
+        h, w, _ = image.shape
+        feats = D2ResNet50(dtype=self.dtype, name="bottom_up")(image[None].astype(self.dtype))
+        pyramid = FPN(dtype=self.dtype, name="fpn")(feats)
+        logits, deltas = RPNHead(dtype=self.dtype, name="rpn_head")(pyramid)
+
+        # ---- proposals
+        all_boxes, all_scores = [], []
+        for li, (lg, dl) in enumerate(zip(logits, deltas)):
+            stride = 2 ** (li + 2)
+            hl, wl = lg.shape[1], lg.shape[2]
+            anch = jnp.asarray(anchors_for_level(hl, wl, stride, ANCHOR_SIZES[li]))
+            scores_l = lg.reshape(-1)
+            deltas_l = dl.reshape(-1, 4)
+            k = min(self.pre_nms_topk, scores_l.shape[0])
+            top_s, top_i = jax.lax.top_k(scores_l, k)
+            boxes_l = decode_boxes(anch[top_i], deltas_l[top_i])
+            boxes_l = clip_boxes(boxes_l, true_h, true_w)
+            all_boxes.append(boxes_l)
+            all_scores.append(top_s)
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        keep, valid = nms_fixed(boxes, scores, RPN_NMS_THRESH, self.post_nms_topk)
+        proposals = boxes[keep] * valid[:, None]  # invalid → degenerate at 0
+
+        # ---- box head
+        pooled = multilevel_roi_align(
+            [p[0].astype(jnp.float32) for p in pyramid], proposals, 7
+        )
+        cls_logits, box_deltas = BoxHead(dtype=self.dtype, name="box_head")(pooled)
+        probs = jax.nn.softmax(cls_logits, axis=-1)[:, :NUM_CLASSES]  # drop bg
+
+        # class-specific box regression
+        r = proposals.shape[0]
+        det_boxes = jax.vmap(
+            lambda p, d: decode_boxes(
+                jnp.broadcast_to(p[None], (NUM_CLASSES, 4)),
+                d.reshape(NUM_CLASSES, 4),
+                BOX_REG_WEIGHTS,
+            )
+        )(proposals, box_deltas)  # (R, NUM_CLASSES, 4)
+
+        flat_scores = (probs * valid[:, None]).reshape(-1)  # (R*C,)
+        flat_boxes = det_boxes.reshape(-1, 4)
+        flat_cls = jnp.broadcast_to(
+            jnp.arange(NUM_CLASSES, dtype=jnp.int32)[None], (r, NUM_CLASSES)
+        ).reshape(-1)
+
+        flat_scores = jnp.where(flat_scores >= ROI_SCORE_THRESH, flat_scores, 0.0)
+        # prune to a workable candidate set, then class-offset NMS
+        cand = min(self.box_candidates, flat_scores.shape[0])
+        cs, ci = jax.lax.top_k(flat_scores, cand)
+        cboxes = clip_boxes(flat_boxes[ci], true_h, true_w)
+        ccls = flat_cls[ci]
+        # offset boxes per class so NMS is per-class (batched-NMS trick)
+        off = ccls.astype(jnp.float32)[:, None] * (MAX_SIZE_TEST * 2.0)
+        keep2, valid2 = nms_fixed(cboxes + off, cs, ROI_NMS_THRESH, self.max_det)
+        valid2 = valid2 & (cs[keep2] > 0)
+        final_boxes = cboxes[keep2]
+        final_scores = cs[keep2] * valid2
+        final_cls = ccls[keep2]
+
+        # ---- mask head
+        mpooled = multilevel_roi_align(
+            [p[0].astype(jnp.float32) for p in pyramid], final_boxes, 14
+        )
+        mlogits = MaskHead(dtype=self.dtype, name="mask_head")(mpooled)
+        midx = jnp.arange(self.max_det)
+        masks28 = jax.nn.sigmoid(mlogits[midx, :, :, final_cls])
+
+        return Detections(final_boxes, final_scores, final_cls, masks28, valid2)
+
+
+# ---------------------------------------------------------- host interface
+
+
+def preprocess_np(img_rgb: np.ndarray) -> tuple[np.ndarray, float, int, int]:
+    """ResizeShortestEdge(1024, 2048) + BGR caffe normalization + pad to the
+    static input shape (utils.py:53-74 get_detectron2_input analog).
+
+    Returns (padded (Hs, Ws, 3) float32, scale, resized_h, resized_w).
+    """
+    import cv2
+
+    h, w = img_rgb.shape[:2]
+    scale = min(MIN_SIZE_TEST / min(h, w), MAX_SIZE_TEST / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(img_rgb.astype(np.float32), (nw, nh))
+    bgr = resized[:, :, ::-1] - np.array(PIXEL_MEAN_BGR, np.float32)
+    sh, sw = static_input_shape()
+    out = np.zeros((sh, sw, 3), np.float32)
+    out[:nh, :nw] = bgr[:sh, :sw]
+    return out, scale, nh, nw
+
+
+def static_input_shape() -> tuple[int, int]:
+    """Static padded input for KITTI-sized frames: ResizeShortestEdge(1024,
+    2048) maps 375×1242 → 619×2048, rounded up to /64 for clean FPN strides."""
+    return 640, 2048
+
+
+class MaskRCNNBackend:
+    """Host-facing single-image inference (GT tooling / eval)."""
+
+    def __init__(self, weights_path: str | None = None, max_det: int = 32):
+        self.model = MaskRCNN(max_det=max_det)
+        sh, sw = static_input_shape()
+        if weights_path:
+            self.variables = import_detectron2_pth(weights_path, self.model)
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((sh, sw, 3)),
+                jnp.array(float(sh)),
+                jnp.array(float(sw)),
+            )
+        self._apply = jax.jit(self.model.apply)
+
+    def predict(self, img_rgb: np.ndarray):
+        """→ (masks (N, H, W) uint8, boxes (N, 4), classes (N,), scores (N,))
+        at the original image resolution."""
+        h, w = img_rgb.shape[:2]
+        padded, scale, nh, nw = preprocess_np(img_rgb)
+        det = self._apply(
+            self.variables, jnp.asarray(padded), jnp.array(float(nh)), jnp.array(float(nw))
+        )
+        det = jax.device_get(det)
+        valid = det.valid.astype(bool)
+        boxes = det.boxes[valid] / scale
+        pasted = paste_masks(
+            jnp.asarray(det.masks28[valid]), jnp.asarray(det.boxes[valid] / scale), h, w
+        )
+        masks = (np.asarray(pasted) >= 0.5).astype(np.uint8)
+        return masks, boxes, det.classes[valid], det.scores[valid]
+
+
+class MaskRCNNProvider:
+    """Batch union-mask provider backed by the JAX Mask R-CNN
+    (drop-in for PrecomputedMaskProvider; reference loss_utils.py:102-124)."""
+
+    def __init__(self, cfg):
+        import os
+
+        weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
+        self.backend = MaskRCNNBackend(
+            weights if os.path.exists(weights) else None, max_det=cfg.d2_max_instances
+        )
+        self._img_cache: dict[str, np.ndarray] = {}
+
+    def union_masks_from_images(self, images_rgb: np.ndarray, height: int, width: int) -> np.ndarray:
+        """(B, H0, W0, 3) uint8 → (B, height, width) float union masks."""
+        import cv2
+
+        out = np.zeros((len(images_rgb), height, width), np.float32)
+        for b, img in enumerate(images_rgb):
+            masks, _, _, _ = self.backend.predict(img)
+            if len(masks):
+                union = (masks.sum(0) > 0).astype(np.float32)
+                out[b] = cv2.resize(union, (width, height))
+        return out
+
+    def union_masks(self, keys, height, width):  # MaskProvider protocol
+        return np.zeros((len(keys), height, width), np.float32)
+
+
+# ------------------------------------------------------------- .pth import
+
+
+def _d2_key_map(model: MaskRCNN) -> dict[str, tuple]:
+    """detectron2 state-dict key prefix → (collection, flax path prefix)."""
+    m: dict[str, tuple] = {}
+    # stem + res blocks
+    m["backbone.bottom_up.stem.conv1"] = ("bottom_up", "stem_conv1", "stem_bn1")
+    return m
+
+
+_BN_LEAF = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def torch_d2_key_to_flax(key: str) -> tuple[str, tuple, str] | None:
+    """Map one detectron2 key to (collection, flax path, kind) where kind ∈
+    {conv, convT, fc, bias, bn}. Returns None for ignorable keys."""
+    parts = key.split(".")
+
+    def bn(path_prefix: tuple, leaf: str):
+        coll, l = _BN_LEAF[leaf]
+        return coll, path_prefix + (l,), "bn"
+
+    if key.startswith("backbone.bottom_up.stem.conv1"):
+        if parts[-1] == "weight" and parts[-2] == "conv1":
+            return "params", ("bottom_up", "stem_conv1", "kernel"), "conv"
+        if parts[-2] == "norm":
+            return bn(("bottom_up", "stem_bn1"), parts[-1])
+    if key.startswith("backbone.bottom_up.res"):
+        stage = parts[2]          # res2..res5
+        block = parts[3]          # 0..n
+        name = f"{stage}_{block}"
+        rest = parts[4:]
+        if rest[0] == "shortcut":
+            if rest[-1] == "weight" and rest[-2] == "shortcut":
+                return "params", ("bottom_up", name, "downsample_conv", "kernel"), "conv"
+            if rest[-2] == "norm":
+                return bn(("bottom_up", name, "downsample_bn"), rest[-1])
+        if rest[0].startswith("conv"):
+            idx = rest[0][-1]
+            if rest[-1] == "weight" and rest[-2] == rest[0]:
+                return "params", ("bottom_up", name, f"conv{idx}", "kernel"), "conv"
+            if rest[-2] == "norm":
+                return bn(("bottom_up", name, f"bn{idx}"), rest[-1])
+    if key.startswith("backbone.fpn_lateral") or key.startswith("backbone.fpn_output"):
+        name = parts[1]
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        kind = "conv" if parts[-1] == "weight" else "bias"
+        return "params", ("fpn", name, leaf), kind
+    if key.startswith("proposal_generator.rpn_head"):
+        name = parts[2]  # conv / objectness_logits / anchor_deltas
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        return "params", ("rpn_head", name, leaf), "conv" if leaf == "kernel" else "bias"
+    if key.startswith("roi_heads.box_head.fc"):
+        name = parts[2]
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        return "params", ("box_head", name, leaf), "fc" if leaf == "kernel" else "bias"
+    if key.startswith("roi_heads.box_predictor"):
+        name = parts[2]  # cls_score / bbox_pred
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        return "params", ("box_head", name, leaf), "fc" if leaf == "kernel" else "bias"
+    if key.startswith("roi_heads.mask_head"):
+        name = parts[2]  # mask_fcn1..4 / deconv / predictor
+        leaf = "kernel" if parts[-1] == "weight" else "bias"
+        kind = "convT" if name == "deconv" and leaf == "kernel" else (
+            "conv" if leaf == "kernel" else "bias"
+        )
+        return "params", ("mask_head", name, leaf), kind
+    return None
+
+
+def import_detectron2_pth(path: str, model: MaskRCNN) -> dict:
+    """Load the reference's detectron2 checkpoint into the MaskRCNN variable
+    tree. Conv OIHW → HWIO; deconv OIHW → HWOI (flax ConvTranspose);
+    FC (out, in) → (in, out)."""
+    import torch
+
+    from ..checkpoints import _unflatten, merge_partial
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+
+    flat: dict[tuple, np.ndarray] = {}
+    for key, val in sd.items():
+        mapped = torch_d2_key_to_flax(key)
+        if mapped is None:
+            continue
+        coll, p, kind = mapped
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        if kind == "conv" and arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)
+        elif kind == "convT" and arr.ndim == 4:
+            arr = arr.transpose(2, 3, 0, 1)  # IOHW? torch deconv weight is (in, out, kh, kw)
+        elif kind == "fc" and arr.ndim == 2:
+            arr = arr.T
+        flat[(coll,) + p] = arr
+    loaded = _unflatten(flat)
+
+    sh, sw = static_input_shape()
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((sh, sw, 3)), jnp.array(float(sh)), jnp.array(float(sw))
+    )
+    return merge_partial(template, loaded)

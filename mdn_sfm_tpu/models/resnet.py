@@ -79,19 +79,24 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck: 1×1-3×3-1×1 with 4× expansion."""
+    """Bottleneck: 1×1-3×3-1×1 with 4× expansion. torchvision puts the
+    stride on the 3×3; detectron2's caffe-style R50 (used by the frozen
+    Mask R-CNN) strides the first 1×1 (``stride_in_1x1``)."""
 
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         identity = x
         out_ch = self.features * 4
-        out = _conv(self.features, 1, 1, self.dtype, "conv1")(x)
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        out = _conv(self.features, 1, s1, self.dtype, "conv1")(x)
         out = nn.relu(_bn("bn1", self.dtype, train)(out))
-        out = _conv(self.features, 3, self.stride, self.dtype, "conv2")(out)
+        out = _conv(self.features, 3, s3, self.dtype, "conv2")(out)
         out = nn.relu(_bn("bn2", self.dtype, train)(out))
         out = _conv(out_ch, 1, 1, self.dtype, "conv3")(out)
         out = _bn("bn3", self.dtype, train)(out)

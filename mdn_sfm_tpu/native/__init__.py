@@ -54,6 +54,10 @@ def lib() -> ctypes.CDLL:
         L.mask_bbox.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i32p]
         L.mask_union.restype = None
         L.mask_union.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.nms.restype = ctypes.c_int64
+        L.nms.argtypes = [f32p, i64p, ctypes.c_int64, ctypes.c_float, ctypes.c_int64, i64p]
         _LIB = L
         return L
 
@@ -103,6 +107,34 @@ def mask_bbox(mask: np.ndarray) -> list[int] | None:
     if bbox[2] < 0:
         return None
     return [int(v) for v in bbox]
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float, max_keep: int = -1) -> np.ndarray:
+    """Greedy IoU NMS (host path): returns kept indices sorted by score.
+
+    Args:
+        boxes: (N, 4) XYXY float32.
+        scores: (N,) float32.
+    """
+    import ctypes as ct
+
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    n = boxes.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    order = np.ascontiguousarray(np.argsort(-np.asarray(scores)), np.int64)
+    if max_keep < 0:
+        max_keep = n
+    keep = np.empty(n, np.int64)
+    kept = lib().nms(
+        boxes.ctypes.data_as(ct.POINTER(ct.c_float)),
+        order.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        n,
+        float(iou_threshold),
+        max_keep,
+        keep.ctypes.data_as(ct.POINTER(ct.c_int64)),
+    )
+    return keep[:kept].copy()
 
 
 def mask_union(masks: np.ndarray) -> np.ndarray:

@@ -141,4 +141,37 @@ void mask_union(const uint8_t* masks, int64_t n, int64_t hw, uint8_t* out) {
   }
 }
 
+// Greedy IoU NMS over score-sorted XYXY boxes (host-side path for the GT
+// tooling; the on-device path is the JAX implementation in
+// masks/maskrcnn.py). `order` must list box indices in descending score.
+// Writes kept indices to `keep`, returns how many were kept.
+int64_t nms(const float* boxes, const int64_t* order, int64_t n,
+            float iou_threshold, int64_t max_keep, int64_t* keep) {
+  int64_t kept = 0;
+  for (int64_t oi = 0; oi < n && kept < max_keep; ++oi) {
+    const int64_t i = order[oi];
+    const float* bi = boxes + 4 * i;
+    const float ai = (bi[2] - bi[0]) * (bi[3] - bi[1]);
+    bool suppressed = false;
+    for (int64_t kj = 0; kj < kept; ++kj) {
+      const float* bj = boxes + 4 * keep[kj];
+      const float xx1 = bi[0] > bj[0] ? bi[0] : bj[0];
+      const float yy1 = bi[1] > bj[1] ? bi[1] : bj[1];
+      const float xx2 = bi[2] < bj[2] ? bi[2] : bj[2];
+      const float yy2 = bi[3] < bj[3] ? bi[3] : bj[3];
+      const float w = xx2 - xx1 > 0 ? xx2 - xx1 : 0;
+      const float h = yy2 - yy1 > 0 ? yy2 - yy1 : 0;
+      const float inter = w * h;
+      const float aj = (bj[2] - bj[0]) * (bj[3] - bj[1]);
+      const float iou = inter / (ai + aj - inter + 1e-12f);
+      if (iou > iou_threshold) {
+        suppressed = true;
+        break;
+      }
+    }
+    if (!suppressed) keep[kept++] = i;
+  }
+  return kept;
+}
+
 }  // extern "C"

@@ -82,7 +82,17 @@ class Trainer:
         self.steps_per_epoch = len(self.train_loader)
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
         self.mask_provider = build_mask_provider(cfg)
-        print(f"\n{len(dataset):d} training items\n")
+
+        # inline validation set (reference: trainer.py:76-80) — KITTI-2015
+        # scene-flow pairs; skipped when the data isn't on disk
+        self.val_dataset = None
+        self._val_idx = 0
+        if not self.synthetic and os.path.isdir(os.path.join(cfg.data_root, "data_scene_flow")):
+            from .data.eval_datasets import KittiSegDataset
+
+            self.val_dataset = KittiSegDataset(cfg.data_root, cfg.height, cfg.width)
+        n_val = len(self.val_dataset) if self.val_dataset else 0
+        print(f"\n{len(dataset):d} training items and {n_val:d} validation items\n")
 
     def _initialize_models(self):
         cfg = self.cfg
@@ -122,6 +132,7 @@ class Trainer:
                 print("Cannot find Adam weights so Adam is randomly initialized")
 
         self.step_fn = T.make_train_step(cfg, self.models, self.tx)
+        self.eval_fn = T.make_eval_forward(cfg, self.models)
 
         # data-parallel placement
         self.mesh = make_mesh(cfg.num_data_shards)
@@ -158,7 +169,15 @@ class Trainer:
         colors, K = arrays
         batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
         if self.mask_provider is not None:
-            masks = self.mask_provider.union_masks(keys, self.cfg.height, self.cfg.width)
+            if hasattr(self.mask_provider, "union_masks_from_images"):
+                # live Mask R-CNN on the (upscaled) target frame — the
+                # reference feeds detectron2 an instance_img upsampled from
+                # the already-resized color tensor (mono_dataset.py:111)
+                masks = self.mask_provider.union_masks_from_images(
+                    colors[:, 0], self.cfg.height, self.cfg.width
+                )
+            else:
+                masks = self.mask_provider.union_masks(keys, self.cfg.height, self.cfg.width)
             batch["instance_mask"] = jnp.asarray(masks)
         n_dev = int(np.prod(self.mesh.devices.shape))
         return shard_batch(self.mesh, batch) if n_dev > 1 else batch
@@ -176,9 +195,9 @@ class Trainer:
 
     def run_epoch(self):
         cfg = self.cfg
-        for batch_idx, arrays in enumerate(self.train_loader):
+        for batch_idx, (arrays, idxs) in enumerate(self.train_loader):
             before = time.time()
-            keys = ["?"] * cfg.batch_size  # loader doesn't carry keys yet
+            keys = [self.sample_keys[int(i)] for i in idxs]
             batch = self._device_batch(arrays, keys)
             self.state, metrics, aux = self.step_fn(self.state, self.frozen, batch, self.rng)
 
@@ -189,6 +208,7 @@ class Trainer:
                 self.log_time(batch_idx, time.time() - before, loss)
             if batch_idx % 50 == 0:
                 self.log(metrics, aux, log_image=early or late)
+                self.val()
 
             self.step += 1
             if self.step % cfg.save_frequency == 0:
@@ -236,6 +256,53 @@ class Trainer:
             )
             w.add_image(f"{j}/flow", flows, self.step, dataformats="HWC")
 
+    def _current_variables(self) -> dict:
+        """Reassemble full variable trees from (frozen, trainable) for eval."""
+        variables = {k: dict(v) for k, v in jax.tree.map(lambda x: x, self.frozen).items()}
+        variables["mobile_decoder"] = {"params": self.state.params["mobile_decoder"]}
+        if self.cfg.fine_tune_flow_motion:
+            variables["flownet"]["params"] = self.state.params["flownet"]
+            variables["posenet"]["params"] = self.state.params["posenet"]
+        return variables
+
+    def val(self):
+        """Validate on one KITTI-2015 pair + log images
+        (reference: trainer.py:289-331)."""
+        if self.val_dataset is None or self.writers is None:
+            return
+        from .geometry import gauss_distance_weight, scale_factor
+        from .losses import epipolar_loss_terms
+        from .metrics import binary_image
+
+        cfg = self.cfg
+        inputs = self.val_dataset[self._val_idx % len(self.val_dataset)]
+        self._val_idx += 1
+
+        variables = self._current_variables()
+        tgt = jnp.asarray(inputs[("color", 0)])[None]
+        ref = jnp.asarray(inputs[("color", 1)])[None]
+        flows, mobiles, aa, t, cam = self.eval_fn(variables, tgt, ref)
+
+        gw = (
+            gauss_distance_weight(cfg.height, cfg.width, 1, cfg.gauss_sigma1, cfg.gauss_sigma2)[0]
+            if cfg.mode == Mode.TG
+            else None
+        )
+        flow_px = flows[0] * scale_factor(cfg.height, cfg.width)
+        epip_loss, epip_map, epip_ori = epipolar_loss_terms(
+            cfg, flow_px, mobiles[0], jnp.asarray(inputs["inv_K"])[None],
+            cam[:, :3, :3], cam[:, :3, 3], None, gw,
+        )
+
+        w = self.writers["val"]
+        w.add_scalar("epipolar loss", float(epip_loss), self.step)
+        mob = np.asarray(mobiles[0])[0, ..., 0]
+        w.add_image("0/target", normalize_image(np.asarray(tgt)[0]).transpose(2, 0, 1), self.step)
+        w.add_image("0/epip", normalize_image(np.asarray(epip_map)[0, ..., 0])[None], self.step)
+        w.add_image("0/epip_ori", normalize_image(np.asarray(epip_ori)[0, ..., 0])[None], self.step)
+        w.add_image("0/mobile", mob[None], self.step)
+        w.add_image("0/mobile_bi", binary_image(mob, 0.4)[None], self.step)
+
     # ------------------------------------------------------------- tools
 
     def epipolar_statics(self, num_quantile: int = 1000, max_batches: int | None = None):
@@ -252,7 +319,7 @@ class Trainer:
 
         @jax.jit
         def quantiles(frozen, batch):
-            colors, inv_Ks = augment_batch(cfg, batch["colors_u8"], batch["K"],
+            colors, inv_Ks, _ = augment_batch(cfg, batch["colors_u8"], batch["K"],
                                            jax.random.PRNGKey(0), train=False)
             tgt = colors[(0, 0)]
             res = {}
@@ -268,10 +335,10 @@ class Trainer:
             return res
 
         all_q = {i: [] for i in cfg.ref_frame_ids}
-        for bi, arrays in enumerate(self.train_loader):
+        for bi, (arrays, _idxs) in enumerate(self.train_loader):
             if max_batches is not None and bi >= max_batches:
                 break
-            batch = self._device_batch(arrays, ["?"] * cfg.batch_size)
+            batch = self._device_batch(arrays, [])
             q = quantiles(self.frozen, {k: batch[k] for k in ("colors_u8", "K")})
             for i in cfg.ref_frame_ids:
                 all_q[i].append(np.asarray(q[i]))
@@ -301,10 +368,11 @@ class Trainer:
             step_fn = T.make_train_step(new_cfg, self.models, tx)
 
             last = None
-            for bi, arrays in enumerate(self.train_loader):
+            for bi, (arrays, idxs) in enumerate(self.train_loader):
                 if bi >= batches_per_value:
                     break
-                batch = self._device_batch(arrays, ["?"] * new_cfg.batch_size)
+                keys = [self.sample_keys[int(i)] for i in idxs]
+                batch = self._device_batch(arrays, keys)
                 state, metrics, _ = step_fn(state, frozen, batch, self.rng)
                 if self.writers and bi % 50 == 0:
                     for k in ("loss", "epip", "smooth", "consis"):

@@ -195,10 +195,7 @@ def loss_from_batch(
             mobiles[(i, s)] = m_i[s]
         cams[i] = cam_i
 
-    color_by_scale = {s: colors[(0, s)] for s in cfg.scales}
-    losses, aux = compute_losses(
-        cfg, color_by_scale, inv_Ks, flows, mobiles, cams, instance_mask
-    )
+    losses, aux = compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, instance_mask)
     return losses["loss"], (losses, aux)
 
 
@@ -218,7 +215,7 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
         state: TrainState, frozen: dict, batch: dict, rng: Array
     ) -> tuple[TrainState, dict, LossAux]:
         rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
+        colors, inv_Ks, _ = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
         instance_mask = batch.get("instance_mask")
 
         def loss_fn(params):
@@ -235,6 +232,51 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
 
     donate = (0,) if cfg.donate_state else ()
     return jax.jit(step, donate_argnums=donate)
+
+
+def make_multi_train_step(
+    cfg: Config, models: ModelBundle, tx: optax.GradientTransformation, unroll: int = 1
+):
+    """Build a jitted K-step train function: one device dispatch executes K
+    sequential optimizer steps via ``lax.scan``.
+
+    Amortizes host→device dispatch latency (the dominant cost on
+    tunnel-attached TPUs) and lets XLA overlap the steps' host-independent
+    work. The per-step math is identical to :func:`make_train_step`.
+
+    batch: same dict as make_train_step but with a leading K axis:
+        {'colors_u8': (K, B, F, H, W, 3), 'K': (K, B, 4, 4),
+         optional 'instance_mask': (K, B, Hm, Wm)}
+    Returns (state, metrics) with metrics averaged over the K steps, plus the
+    last step's aux.
+    """
+
+    def one_step(carry, batch_k):
+        state, frozen, rng = carry
+        step_rng = jax.random.fold_in(rng, state.step)
+        colors, inv_Ks, _ = augment_batch(
+            cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
+        )
+        instance_mask = batch_k.get("instance_mask")
+
+        def loss_fn(params):
+            return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
+
+        grads, (losses, _aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (TrainState(params, opt_state, state.step + 1), frozen, rng), metrics
+
+    def k_steps(state: TrainState, frozen: dict, batches: dict, rng: Array):
+        (state, _, _), metrics = jax.lax.scan(
+            one_step, (state, frozen, rng), batches, unroll=unroll
+        )
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(k_steps, donate_argnums=donate)
 
 
 def make_eval_forward(cfg: Config, models: ModelBundle):

@@ -32,7 +32,7 @@ class TestAugment:
     def test_eval_path_deterministic_and_normalized(self):
         c = cfg()
         colors, K = _batch(c)
-        out, inv_Ks = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=False)
+        out, inv_Ks, raw = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=False)
         # normalization: (x/255 - .45)/.225
         raw = np.asarray(colors[:, 0]).astype(np.float32) / 255.0
         expected = (raw - 0.45) / 0.225
@@ -41,7 +41,7 @@ class TestAugment:
     def test_pyramid_shapes_and_intrinsics(self):
         c = cfg()
         colors, K = _batch(c)
-        out, inv_Ks = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=False)
+        out, inv_Ks, raw = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=False)
         for s in range(4):
             hs, ws = c.height // 2**s, c.width // 2**s
             for i in c.frame_ids:
@@ -59,9 +59,9 @@ class TestAugment:
     def test_train_path_shapes(self):
         c = cfg()
         colors, K = _batch(c)
-        out, inv_Ks = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=True)
+        out, inv_Ks, raw = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=True)
         assert out[(0, 0)].shape == (c.batch_size, c.height, c.width, 3)
-        assert ("raw", 0, 0) in out
+        assert raw.shape == (c.batch_size, c.height, c.width, 3)
         assert np.isfinite(np.asarray(out[(0, 0)])).all()
 
     def test_flip_updates_cx(self):
@@ -74,7 +74,7 @@ class TestAugment:
         colors[:, :, :, : c.width // 2] = 0
         colors = jnp.asarray(colors)
 
-        out, inv_Ks = A.augment_batch(c, colors, K, jax.random.PRNGKey(7), train=True)
+        out, inv_Ks, raw = A.augment_batch(c, colors, K, jax.random.PRNGKey(7), train=True)
         # reconstruct K from inv_K at scale 0
         invK = np.asarray(inv_Ks[0])
         K_rec = np.linalg.inv(invK)
@@ -95,7 +95,7 @@ class TestAugment:
         c = cfg()
         colors = jnp.full((2, 3, c.height, c.width, 3), 128, jnp.uint8)
         _, K = _batch(c)
-        out, inv_Ks = A.augment_batch(c, colors, K, jax.random.PRNGKey(3), train=True)
+        out, inv_Ks, raw = A.augment_batch(c, colors, K, jax.random.PRNGKey(3), train=True)
         v = np.asarray(out[(0, 0)])
         np.testing.assert_allclose(v, v.flat[0], atol=1e-4)
         K_rec = np.linalg.inv(np.asarray(inv_Ks[0]))
@@ -109,7 +109,7 @@ class TestAugment:
         c = cfg()
         colors = jnp.full((1, 3, c.height, c.width, 3), 100, jnp.uint8)
         _, K = _batch(cfg(batch_size=1))
-        out, _ = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=True)
+        out, _, _ = A.augment_batch(c, colors, K, jax.random.PRNGKey(0), train=True)
         v = np.asarray(out[(0, 0)])
         expected = (100 / 255.0 - 0.45) / 0.225
         np.testing.assert_allclose(v, expected, atol=1e-4)
@@ -154,19 +154,20 @@ class TestLoader:
         loader = HostLoader(ds, batch_size=4, num_workers=2, seed=1)
         batches = list(iter(loader))
         assert len(batches) == 2  # drop_last
-        colors, K = batches[0]
+        (colors, K), idxs = batches[0]
+        assert len(idxs) == 4
         assert colors.shape == (4, 3, 64, 96, 3)
         assert K.shape == (4, 4, 4)
 
     def test_shuffle_changes_across_epochs(self):
         ds = SyntheticDataset(8, 64, 96)
         loader = HostLoader(ds, batch_size=8, num_workers=1, seed=1)
-        b1 = next(iter(loader))[0]
-        b2 = next(iter(loader))[0]
+        b1 = next(iter(loader))[0][0]
+        b2 = next(iter(loader))[0][0]
         assert not np.array_equal(b1, b2)
 
     def test_deterministic_given_seed(self):
         ds = SyntheticDataset(8, 64, 96)
         l1 = HostLoader(ds, batch_size=4, num_workers=2, seed=5)
         l2 = HostLoader(ds, batch_size=4, num_workers=2, seed=5)
-        np.testing.assert_array_equal(next(iter(l1))[0], next(iter(l2))[0])
+        np.testing.assert_array_equal(next(iter(l1))[0][0], next(iter(l2))[0][0])

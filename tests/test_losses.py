@@ -125,7 +125,8 @@ def _make_inputs(cfg, seed=0, b=2):
     )
     for s in cfg.scales:
         hs, ws = cfg.height // 2**s, cfg.width // 2**s
-        colors[s] = jnp.asarray(rng.normal(size=(b, hs, ws, 3)).astype(np.float32))
+        for i in cfg.frame_ids:
+            colors[(i, s)] = jnp.asarray(rng.normal(size=(b, hs, ws, 3)).astype(np.float32))
         Ks = K.copy()
         Ks[0] /= 2**s
         Ks[1] /= 2**s
@@ -171,7 +172,7 @@ class TestComputeLosses:
 
         cfg1 = Config(height=32, width=64, scales=(1,), w_d2_sim=0.0).validate()
         # duplicate scale-0 tensors into the scale-1 slots
-        colors2 = {1: colors[0]}
+        colors2 = {(i, 1): colors[(i, 0)] for i in (0, -1, 1)}
         inv_Ks2 = {1: inv_Ks[0]}
         flows2 = {(i, 1): flows[(i, 0)] for i in (-1, 1)}
         mobiles2 = {(i, 1): mobiles[(i, 0)] for i in (-1, 1)}
@@ -196,6 +197,23 @@ class TestComputeLosses:
         losses, _ = L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)
         assert float(losses["smooth"]) == 0.0
         assert float(losses["consis"]) == 0.0
+
+    def test_photometric_term_flag_gated(self):
+        """disable_photoloss=False adds a finite 'photo' term weighted by w_p
+        (reference loss_functions.py:48-50, disconnected there, wired here)."""
+        cfg = Config(
+            height=32, width=64, scales=(0,), w_d2_sim=0.0,
+            disable_photoloss=False, no_ssim=False, w_p=2.0,
+        ).validate()
+        colors, inv_Ks, flows, mobiles, cams = _make_inputs(cfg)
+        losses, _ = L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)
+        assert "photo" in losses and np.isfinite(float(losses["photo"]))
+        base = (
+            cfg.w_e * losses["epip"] + cfg.w_s * losses["smooth"] + cfg.w_c * losses["consis"]
+        )
+        assert float(losses["loss"]) == pytest.approx(
+            float(base + 2.0 * losses["photo"]), rel=1e-6
+        )
 
     def test_grad_flows_to_mobile(self):
         import jax
@@ -233,7 +251,7 @@ class TestComputeLosses:
         T[:, 2, 3] = 1.0
         cams = {i: jnp.asarray(T) for i in (-1, 1)}
 
-        colors = {0: jnp.zeros((b, h, w, 3))}
+        colors = {(0, 0): jnp.zeros((b, h, w, 3))}
         inv_Ks = {0: inv_K}
         mobiles = {(i, 0): jnp.full((b, h, w, 1), 0.5) for i in (-1, 1)}
         losses, _ = L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)

@@ -95,6 +95,36 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["grad_norm"]))
 
 
+class TestMultiStep:
+    def test_k_steps_match_sequential(self, setup):
+        """One scan dispatch of K steps lands on the same params as K
+        sequential single-step calls on the same batches."""
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=0)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        kstep = T.make_multi_train_step(cfg, models, tx)
+
+        K = 3
+        batches = [_batch(cfg, seed=s) for s in range(K)]
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+        }
+        rng = jax.random.PRNGKey(9)
+
+        s_seq = state
+        for b in batches:
+            s_seq, m_seq, _ = step(s_seq, frozen, b, rng)
+
+        s_k, m_k = kstep(state, frozen, stacked, rng)
+        assert int(s_k.step) == K
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(s_k.params)[0]),
+            np.asarray(jax.tree.leaves(s_seq.params)[0]),
+            atol=1e-6,
+        )
+
+
 class TestLrSchedule:
     def test_default_cosine_decays(self):
         cfg = tiny_cfg(num_epochs=2)
