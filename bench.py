@@ -24,6 +24,10 @@ ROUNDS = 3     # timed dispatches
 
 
 def main() -> None:
+    from mdn_sfm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

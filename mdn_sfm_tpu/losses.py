@@ -121,6 +121,26 @@ def photometric_loss(
     return loss, warped, diff, valid
 
 
+def divergence(foreground: Array, feature: Array) -> Array:
+    """KL-style divergence between dynamic-region feature distribution and
+    its spatial mean (reference: loss_utils.py:180-194 — present but unused
+    in the shipped head; kept for capability parity).
+
+    Args:
+        foreground: (B, H, W, 1) binary mobile-region mask
+        feature: (B, H, W, C) intermediate feature maps
+    """
+    foreground = foreground.astype(jnp.float32)
+    feature = feature.astype(jnp.float32)
+    dynamic = foreground * feature
+    center = jnp.mean(dynamic, axis=(1, 2), keepdims=True)  # (B, 1, 1, C)
+
+    dy = jax.nn.softmax(dynamic, axis=-1)
+    cd = jnp.broadcast_to(jax.nn.softmax(center, axis=-1), dy.shape)
+    div = jnp.abs(dy * jnp.log(dy / cd + 1e-5))
+    return jnp.sum(div) / jnp.sum(foreground)
+
+
 # -------------------------------------------------- mode post-processing
 
 

@@ -15,6 +15,10 @@ from mdn_sfm_tpu.trainer import Trainer
 
 
 def main() -> None:
+    from mdn_sfm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(description="MDN-SfM TPU train")
     add_train_args(parser)
     parser.add_argument("--synthetic", action="store_true",
