@@ -148,6 +148,8 @@ class Config:
 
     # TPU-NATIVE knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"   # conv compute dtype; params and losses stay fp32
+    use_pallas_epipolar: bool = True  # Pallas kernel for the epipolar map when
+    # it carries no gradient (flow/pose frozen); jnp fallback otherwise
     num_data_shards: int = 0          # 0 = use all visible devices on axis 'data'
     bn_frozen_eval: bool = True       # run frozen flow/pose BatchNorm with running stats.
     # (The reference calls set_train() on frozen models too, so their BN uses

@@ -183,6 +183,55 @@ class KittiSegDataset(ValidationSet):
         return inputs
 
 
+class ValidationMobileMaskMore:
+    """Eigen-val image pairs from the raw dataset (reference:
+    eval_utils.py:171-209): each split line yields (tgt, next, intrinsics)."""
+
+    def __init__(self, root: str, files: list[str], phase: str = "raw_data"):
+        self.root = root
+        self.files = files
+        self.phase = phase
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> dict:
+        folder, num, side = self.files[index].split()
+        num = int(num)
+        cam = SIDE_MAP[side]
+        base = os.path.join(self.root, self.phase, folder, f"image_0{cam}/data")
+        tgt = load_as_float(os.path.join(base, f"{num:010d}.png"))
+        next_tgt = load_as_float(os.path.join(base, f"{num + 1:010d}.png"))
+        calib = os.path.join(self.root, self.phase, folder.split("/")[0], "calib_cam_to_cam.txt")
+        intrinsics = get_intrinsics(calib, cam).astype("float32")[:, :3]
+        return {"tgt": tgt, "next_tgt": next_tgt, "intrinsics": intrinsics}
+
+
+def check_next_frame(files: list[str], raw_dataset_dir: str, choose: int = 400, seed: int = 0) -> list[str]:
+    """Drop split lines whose next frame is missing on disk, then sample
+    ``choose`` of the remainder (reference: eval_utils.py:433-455)."""
+    import random
+
+    kept = []
+    for f in files:
+        folder, num, side = f.split()
+        num = int(num)
+        cam = SIDE_MAP[side]
+        p = os.path.join(
+            raw_dataset_dir, "raw_data", folder, f"image_0{cam}/data", f"{num + 1:010d}.png"
+        )
+        if os.path.exists(p):
+            kept.append(f)
+    rng = random.Random(seed)
+    chosen = rng.sample(kept, min(choose, len(kept)))
+    print(
+        f"There are {len(files)} files in training dataset, delete "
+        f"{len(files) - len(kept)} items, {len(kept)} items left; now we "
+        f"choose {len(chosen)} items to evaluate."
+    )
+    return chosen
+
+
 class OdometryFramework:
     """KITTI odometry snippet generator (reference: eval_utils.py:328-389).
 

@@ -224,7 +224,18 @@ def epipolar_loss_terms(
 
     Returns (scalar loss, post map, ori map).
     """
-    resid = jnp.abs(epipolar_residual(flow_px, inv_K, rotation, translation))[..., None]
+    use_pallas = (
+        cfg.use_pallas_epipolar
+        and not cfg.fine_tune_flow_motion  # the map carries no grad when frozen
+        and flow_px.shape[1] % 8 == 0  # clean sublane tiling
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .ops import epipolar_abs_residual_pallas
+
+        resid = epipolar_abs_residual_pallas(flow_px, inv_K, rotation, translation)[..., None]
+    else:
+        resid = jnp.abs(epipolar_residual(flow_px, inv_K, rotation, translation))[..., None]
     post, ori = post_process_epipolar(
         cfg.mode,
         resid,

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..geometry import upsample_nearest_2x
+from ..ops.fused import FusedUpConvBlock
 from .layers import Conv3x3, ConvBlock
 
 Array = jax.Array
@@ -54,8 +54,8 @@ class MobileDecoder(nn.Module):
 
         outputs: dict[int, Array] = {}
         for i in range(4, -1, -1):
-            x = upsample_nearest_2x(x)
-            x = ConvBlock(
+            # fused upsample+conv (see ops/fused.py) — exact-equal, cheaper
+            x = FusedUpConvBlock(
                 NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
             )(x)
             x = jnp.concatenate([x, input_features[i].astype(x.dtype)], axis=-1)

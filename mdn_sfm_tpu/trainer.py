@@ -30,10 +30,18 @@ from .viz import flow_to_image, normalize_image, sec_to_hm_str
 class Trainer:
     """End-to-end training pipeline (reference: Trainer, trainer.py:31-254)."""
 
-    def __init__(self, cfg: Config, synthetic: bool = False):
+    def __init__(self, cfg: Config, synthetic: bool = False, debug_nans: bool = False):
         self.cfg = cfg.validate()
         self.synthetic = synthetic
         self.save_path = os.path.join(cfg.log_dir, cfg.v_save)
+
+        if debug_nans:
+            # NaN tripwire — the TPU analog of the reference's per-backward
+            # autograd anomaly mode (trainer.py:234), opt-in because it
+            # forces sync on every op
+            jax.config.update("jax_debug_nans", True)
+        if cfg.profile_dir:
+            os.makedirs(cfg.profile_dir, exist_ok=True)
 
         self.writers = self._make_writers()
         self._initialize_dataset()
@@ -196,6 +204,10 @@ class Trainer:
     def run_epoch(self):
         cfg = self.cfg
         for batch_idx, (arrays, idxs) in enumerate(self.train_loader):
+            if cfg.profile_dir and self.step == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
+            if cfg.profile_dir and self.step == 15:
+                jax.profiler.stop_trace()
             before = time.time()
             keys = [self.sample_keys[int(i)] for i in idxs]
             batch = self._device_batch(arrays, keys)

@@ -185,15 +185,32 @@ def loss_from_batch(
     inv_Ks: dict,
     instance_mask: Optional[Array],
 ) -> tuple[Array, tuple[dict, LossAux]]:
-    """Forward both reference frames and compute the full loss."""
+    """Forward both reference frames and compute the full loss.
+
+    The reference runs one (tgt, ref) pair per call in a python loop
+    (trainer.py:266-276); here the F reference frames are stacked into ONE
+    2B-batch forward — identical math, double the MXU occupancy at the
+    small per-chip batch sizes this model trains with.
+    """
     tgt = colors[(0, 0)]
+    frame_ids = cfg.ref_frame_ids
+    nf = len(frame_ids)
+    b = tgt.shape[0]
+
+    tgt_rep = jnp.concatenate([tgt] * nf, axis=0)
+    refs = jnp.concatenate([colors[(i, 0)] for i in frame_ids], axis=0)
+
+    f_all, m_all, aa, t, cam_all = forward_frame(
+        cfg, models, params, frozen, tgt_rep, refs
+    )
+
     flows, mobiles, cams = {}, {}, {}
-    for i in cfg.ref_frame_ids:
-        f_i, m_i, _, _, cam_i = forward_frame(cfg, models, params, frozen, tgt, colors[(i, 0)])
+    for fi, i in enumerate(frame_ids):
+        sl = slice(fi * b, (fi + 1) * b)
         for s in cfg.scales:
-            flows[(i, s)] = f_i[s]
-            mobiles[(i, s)] = m_i[s]
-        cams[i] = cam_i
+            flows[(i, s)] = f_all[s][sl]
+            mobiles[(i, s)] = m_all[s][sl]
+        cams[i] = cam_all[sl]
 
     losses, aux = compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, instance_mask)
     return losses["loss"], (losses, aux)

@@ -104,7 +104,11 @@ class TestEpipolar:
         resid = np.asarray(
             G.epipolar_residual(jnp.asarray(flow), jnp.asarray(inv_K), jnp.asarray(R), jnp.asarray(t))
         )
-        assert np.abs(resid).max() < 1e-3
+        # f32 noise is amplified near the focus of expansion where the
+        # epipolar-line norm → 0; bound the worst pixel loosely and the
+        # bulk tightly
+        assert np.abs(resid).max() < 5e-3
+        assert np.median(np.abs(resid)) < 1e-5
 
     def test_nonrigid_flow_gives_nonzero_residual(self):
         h, w = 16, 32

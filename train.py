@@ -30,10 +30,13 @@ def main() -> None:
                         help="hyperparameter grid search over this config field "
                              "(reference: trainer.py:384-441)")
     parser.add_argument("--hyper_values", nargs="+", type=float, default=[])
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="per-op NaN checks (the reference's autograd "
+                             "anomaly-mode analog, trainer.py:234)")
     args = parser.parse_args()
     cfg = from_args(args)
 
-    trainer = Trainer(cfg, synthetic=args.synthetic)
+    trainer = Trainer(cfg, synthetic=args.synthetic, debug_nans=args.debug_nans)
     if args.epipolar_statics:
         thresholds = trainer.epipolar_statics()
         print("Thresholds are :", thresholds)
