@@ -49,7 +49,7 @@ def evaluate(cfg) -> None:
     H, W = cfg.height, cfg.width
     sf = scale_factor(H, W)
     gauss_w = gauss_distance_weight(H, W, 1, cfg.gauss_sigma1, cfg.gauss_sigma2)[0]
-    framework = ValidationFlow(cfg.raw_dataset_dir)
+    framework = ValidationFlow(cfg.raw_dataset_dir, n=cfg.eval_num_samples)
     fwd = T.make_eval_forward(cfg, models)
 
     print(f"-> Computing predictions with size {W}x{H}")
@@ -89,7 +89,7 @@ def evaluate(cfg) -> None:
         # (evaluate_flow.py:116-127)
         gt_flow = sample["gt_flow_occ"]
         # bilinear resize GT flow to net resolution and rescale components
-        gt_small = np.asarray(
+        gt_small = np.array(  # writable copy (device arrays are read-only)
             jax.image.resize(jnp.asarray(gt_flow[..., :2]), (H, W, 2), method="linear")
         )
         gt_small[..., 0] *= zoom_x
@@ -111,7 +111,7 @@ def evaluate(cfg) -> None:
         # NOTE: the reference resizes with swapped axes — (img_width,
         # img_height) where skimage expects (rows, cols)
         # (evaluate_flow.py:117,131); fixed here.
-        full_zoomed = np.asarray(
+        full_zoomed = np.array(
             jax.image.resize(jnp.asarray(full_flow[0]), (h, w, 2), method="linear")
         )
         full_zoomed[..., 0] /= zoom_x

@@ -41,7 +41,7 @@ def evaluate(cfg) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     fwd = T.make_eval_forward(cfg, models)
-    framework = ValidationMobileMask(cfg.raw_dataset_dir)
+    framework = ValidationMobileMask(cfg.raw_dataset_dir, n=cfg.eval_num_samples)
     print(f"-> Computing predictions with size {cfg.width}x{cfg.height}")
     print("-> Evaluating:  Mono evaluation - using median scaling")
 

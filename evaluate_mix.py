@@ -45,7 +45,7 @@ def evaluate(cfg) -> np.ndarray:
     print(f"-> Loading weights from\n{cfg.load_weights_folder}\n{mobile_folder}")
 
     fwd = T.make_eval_forward(cfg, models)
-    dataset = KittiSegDataset(cfg.data_root, cfg.height, cfg.width)
+    dataset = KittiSegDataset(cfg.data_root, cfg.height, cfg.width, n=cfg.eval_num_samples)
     out_dir = os.path.join(cfg.eval_out_dir, "mobile", f"masks_{cfg.version}_{cfg.idx}")
     if cfg.save_pred_masks:
         os.makedirs(out_dir, exist_ok=True)
@@ -65,8 +65,15 @@ def evaluate(cfg) -> np.ndarray:
         mobile_mask = mobiles[0]  # (1, H, W, 1)
         full_flow = flows[0] * sf
 
+        # the reference's eval path always uses SN post-processing for the
+        # epipolar viz maps (LossModule.epipolar_loss, loss_functions.py:124)
+        import dataclasses
+
+        from mdn_sfm_tpu.config import Mode
+
+        viz_cfg = dataclasses.replace(cfg, mode=Mode.SN, w_d2_sim=0.0)
         _, post_epip, ori_epip = epipolar_loss_terms(
-            cfg, full_flow, mobile_mask, inv_K, cam[:, :3, :3], cam[:, :3, 3], None, None
+            viz_cfg, full_flow, mobile_mask, inv_K, cam[:, :3, :3], cam[:, :3, 3], None, None
         )
 
         gt_path = os.path.join(cfg.gt_mask_path, f"{j}.png")

@@ -135,6 +135,7 @@ class Config:
     save_pred_poses: bool = False
     pred_errors: bool = False
     binary_threshold: float = 0.5   # mobile-mask binarization (per-mode values: README.md:27-33)
+    eval_num_samples: int = 200     # KITTI-2015 eval set size (eval_utils.py:27)
 
     # INSTANCE MASKS — how the DS/DC modes get instance-union masks.
     #   "none":        all-zero masks (pure self-supervised SN/T/TG training)
@@ -254,7 +255,7 @@ _EVAL_FIELDS = [
     "num_layers", "threshold", "alpha", "scales", "batch_size", "num_workers",
     "weights_init", "mode", "gauss_sigma1", "gauss_sigma2", "w_d2_sim",
     "load_weights_folder", "version", "idx", "eval_name", "eval_out_dir",
-    "gt_mask_path", "sequence_length", "binary_threshold",
+    "gt_mask_path", "sequence_length", "binary_threshold", "eval_num_samples",
     "save_pred_masks", "save_pred_motions", "save_pred_poses", "pred_errors",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "compute_dtype",

@@ -158,13 +158,13 @@ def flow_read_png(fpath: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def load_as_float(path: str) -> np.ndarray:
     """imread → float32 (reference: utils.py:77-78)."""
-    from imageio import imread
+    from imageio.v2 import imread
 
     return np.asarray(imread(path)).astype(np.float32)
 
 
 def imwrite(path: str, img: np.ndarray) -> None:
-    from imageio import imwrite as _imwrite
+    from imageio.v2 import imwrite as _imwrite
 
     _imwrite(path, img)
 
