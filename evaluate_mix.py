@@ -98,13 +98,31 @@ def evaluate(cfg) -> np.ndarray:
         )
 
         if cfg.save_pred_masks:
+            # stacked panel like the reference (evaluate_mix.py:87-99):
+            # [instance boxes | binary mask | mobile | post epip | ori epip]
+            from mdn_sfm_tpu.data.kitti import _resize_u8
+            from mdn_sfm_tpu.labels import TRAINID2LABEL
+            from mdn_sfm_tpu.viz import draw_boxes_rgb
+
+            inst = np.clip(inputs["instance_img"], 0, 255).astype(np.uint8)
+            anns = inputs["annotations"]
+            boxes, colors = [], []
+            for a in anns:
+                x1, y1, x2, y2 = a["bbox"]
+                boxes.append([x1, y1, x2, y2])
+                colors.append(TRAINID2LABEL[a["category_id"] + 1].color)
+            seg_img = draw_boxes_rgb(inst, np.array(boxes).reshape(-1, 4), colors)
+            seg_small = _resize_u8(seg_img, cfg.height, cfg.width)
+
             m = np.asarray(mobile_mask)[0, ..., 0]
+            expand = lambda g: np.repeat(g[..., None], 3, -1)  # noqa: E731
             viz = np.hstack(
                 [
-                    255 * binary_image(m, cfg.binary_threshold),
-                    255 * m,
-                    255 * normalize_image(np.asarray(post_epip)[0, ..., 0]),
-                    255 * normalize_image(np.asarray(ori_epip)[0, ..., 0]),
+                    seg_small,
+                    255 * expand(binary_image(m, cfg.binary_threshold)),
+                    255 * expand(m),
+                    255 * expand(normalize_image(np.asarray(post_epip)[0, ..., 0])),
+                    255 * expand(normalize_image(np.asarray(ori_epip)[0, ..., 0])),
                 ]
             ).astype(np.uint8)
             imwrite(os.path.join(out_dir, f"{j}.png"), viz)

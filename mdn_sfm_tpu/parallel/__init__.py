@@ -6,6 +6,7 @@ all chips, batch-axis data sharding with replicated params, and XLA-emitted
 gradient all-reduce over ICI (no NCCL/MPI analog needed).
 """
 
+from .distributed import maybe_initialize_distributed
 from .mesh import (
     data_sharding,
     global_batch_to_device,
@@ -20,4 +21,5 @@ __all__ = [
     "shard_batch",
     "replicate",
     "global_batch_to_device",
+    "maybe_initialize_distributed",
 ]

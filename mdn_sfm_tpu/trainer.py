@@ -142,13 +142,17 @@ class Trainer:
         self.step_fn = T.make_train_step(cfg, self.models, self.tx)
         self.eval_fn = T.make_eval_forward(cfg, self.models)
 
-        # data-parallel placement
-        self.mesh = make_mesh(cfg.num_data_shards)
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        # data-parallel placement: shrink the data axis to the largest
+        # divisor of the batch when the batch doesn't fill every device
+        n_dev = cfg.num_data_shards or len(jax.devices())
+        while n_dev > 1 and cfg.batch_size % n_dev != 0:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev)
         if n_dev > 1:
-            assert cfg.batch_size % n_dev == 0, "batch_size must divide the mesh"
             self.state = replicate(self.mesh, self.state)
             self.frozen = replicate(self.mesh, self.frozen)
+        if n_dev != (cfg.num_data_shards or len(jax.devices())):
+            print(f"NOTE: data mesh shrunk to {n_dev} devices (batch {cfg.batch_size})")
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     # ----------------------------------------------------------- running

@@ -1,0 +1,102 @@
+"""Trainer orchestration tests on synthetic data: epoch loop, checkpoint
+layout, resume, the epipolar-statics tool and the hyperparameter grid
+(reference behaviors: trainer.py:213-254, 384-441, 521-562)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mdn_sfm_tpu.config import Config, Mode
+from mdn_sfm_tpu.trainer import Trainer
+
+
+def make_cfg(tmp, **kw):
+    base = dict(
+        height=32,
+        width=64,
+        batch_size=2,
+        num_epochs=1,
+        num_workers=1,
+        save_frequency=4,
+        log_frequency=100,
+        compute_dtype="float32",
+        donate_state=False,
+        log_dir=os.path.join(tmp, "log"),
+        other_files_path=os.path.join(tmp, "files"),
+        v_save="vtest",
+        w_d2_sim=0.0,
+    )
+    base.update(kw)
+    return Config(**base).validate()
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("trainer"))
+    cfg = make_cfg(tmp)
+    trainer = Trainer(cfg, synthetic=True)
+    trainer.train()
+    return tmp, cfg, trainer
+
+
+class TestTrainLoop:
+    def test_checkpoints_written_in_reference_layout(self, trained):
+        tmp, cfg, trainer = trained
+        models_dir = os.path.join(cfg.log_dir, "vtest", "models")
+        assert os.path.exists(os.path.join(models_dir, "opt.json"))
+        weights = [d for d in os.listdir(models_dir) if d.startswith("weights_")]
+        assert weights, "no weights_{idx} folders saved"
+        w0 = os.path.join(models_dir, sorted(weights)[0])
+        assert os.path.exists(os.path.join(w0, "mobile_decoder.msgpack"))
+        assert os.path.exists(os.path.join(w0, "adam.msgpack"))
+
+    def test_opt_json_loads_back(self, trained):
+        tmp, cfg, trainer = trained
+        loaded = Config.load(os.path.join(cfg.log_dir, "vtest", "models", "opt.json"))
+        assert loaded.height == cfg.height
+        assert loaded.mode == cfg.mode
+
+    def test_steps_advanced(self, trained):
+        tmp, cfg, trainer = trained
+        import jax
+
+        assert int(jax.device_get(trainer.state.step)) > 0
+
+    def test_resume_with_load_adam(self, trained):
+        """Resume path: load_adam restores the saved mobile decoder + Adam
+        state (reference: trainer.py:146-199)."""
+        tmp, cfg, trainer = trained
+        import dataclasses
+
+        models_dir = os.path.join(cfg.log_dir, "vtest", "models")
+        idxs = sorted(int(d.split("_")[1]) for d in os.listdir(models_dir) if d.startswith("weights_"))
+        cfg2 = dataclasses.replace(cfg, load_adam=True, v_load="vtest", idx_load=idxs[-1])
+        t2 = Trainer(cfg2, synthetic=True)
+        assert t2.start_step > 0
+
+        import jax
+
+        a = jax.device_get(trainer.state.params["mobile_decoder"])
+        b = jax.device_get(t2.state.params["mobile_decoder"])
+        leaves_a = jax.tree.leaves(a)
+        leaves_b = jax.tree.leaves(b)
+        np.testing.assert_allclose(np.asarray(leaves_a[0]), np.asarray(leaves_b[0]))
+
+
+class TestTools:
+    def test_epipolar_statics(self, trained):
+        """Percentile tool: 8 thresholds out, percentiles file written
+        (reference: trainer.py:521-562, source of --threshold 9.22)."""
+        tmp, cfg, trainer = trained
+        thresholds = trainer.epipolar_statics(num_quantile=50, max_batches=2)
+        assert thresholds.shape == (8,)
+        assert np.all(np.diff(thresholds) >= 0)  # monotone percentiles
+        assert os.path.exists(os.path.join(cfg.other_files_path, "eigen_zhou_percentiles.npy"))
+
+    def test_hyperparameter_try(self, trained):
+        tmp, cfg, trainer = trained
+        results = trainer.hyperparameter_try("alpha", [0.1, 0.9], batches_per_value=2)
+        assert set(results) == {0.1, 0.9}
+        for v in results.values():
+            assert np.isfinite(v)

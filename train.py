@@ -15,9 +15,11 @@ from mdn_sfm_tpu.trainer import Trainer
 
 
 def main() -> None:
+    from mdn_sfm_tpu.parallel import maybe_initialize_distributed
     from mdn_sfm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    maybe_initialize_distributed()
 
     parser = argparse.ArgumentParser(description="MDN-SfM TPU train")
     add_train_args(parser)
