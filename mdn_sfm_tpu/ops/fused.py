@@ -58,9 +58,28 @@ def _parity_kernels(kernel: Array) -> list[list[Array]]:
     return out
 
 
+def _transposed_kernel(kernel: Array) -> Array:
+    """Rearrange the four parity 2×2 kernels into ONE 4×4 transposed-conv
+    kernel: K4[pi + 2u, pj + 2v] = Wp[pi][pj][u, v]. With lhs_dilation=2 the
+    dilation zeros select the right parity automatically."""
+    pk = _parity_kernels(kernel)
+    rows = []
+    for t_i in range(4):
+        pi, u = t_i % 2, t_i // 2
+        cols = []
+        for t_j in range(4):
+            pj, v = t_j % 2, t_j // 2
+            cols.append(pk[pi][pj][u, v])
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # (4, 4, Ci, Co)
+
+
 def upsample2x_conv3x3(x: Array, kernel: Array, bias: Array | None = None) -> Array:
-    """ELU-less fused op: conv3x3(reflect_pad(upsample2x(x))) computed as four
-    parity 2×2 convs on edge-padded x.
+    """ELU-less fused op: conv3x3(reflect_pad(upsample2x(x))) computed as a
+    single fractionally-strided (lhs_dilation=2) conv with a 4×4 kernel on
+    the edge-padded low-res input — one MXU conv, no upsampled intermediate
+    and no parity-interleave copies (those showed up as slice/copy fusions in
+    profiles of the 4-conv formulation).
 
     Args:
         x: (B, H, W, Ci)
@@ -69,35 +88,16 @@ def upsample2x_conv3x3(x: Array, kernel: Array, bias: Array | None = None) -> Ar
     Returns:
         (B, 2H, 2W, Co)
     """
-    b, h, w, ci = x.shape
+    ci = x.shape[-1]
     co = kernel.shape[-1]
-    kernel = kernel.astype(x.dtype)
+    K4 = _transposed_kernel(kernel.astype(x.dtype))
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    pk = _parity_kernels(kernel)
-
-    dn = jax.lax.conv_dimension_numbers(x.shape, (2, 2, ci, co), ("NHWC", "HWIO", "NHWC"))
-
-    outs = []
-    for pi in (0, 1):
-        row = []
-        for pj in (0, 1):
-            # windows over x rows (a−1+pi, a+pi), cols (b−1+pj, b+pj)
-            sl = xp[:, pi : pi + h + 1, pj : pj + w + 1, :]
-            y = jax.lax.conv_general_dilated(
-                sl, pk[pi][pj], window_strides=(1, 1), padding="VALID",
-                dimension_numbers=dn,
-            )
-            row.append(y)
-        outs.append(row)
-
-    # interleave parities: (B, H, 2, W, 2, Co) → (B, 2H, 2W, Co)
-    y = jnp.stack(
-        [jnp.stack([outs[0][0], outs[0][1]], axis=3),
-         jnp.stack([outs[1][0], outs[1][1]], axis=3)],
-        axis=2,
+    dn = jax.lax.conv_dimension_numbers(xp.shape, (4, 4, ci, co), ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xp, K4, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        lhs_dilation=(2, 2), dimension_numbers=dn,
     )
-    y = y.reshape(b, 2 * h, 2 * w, co)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
