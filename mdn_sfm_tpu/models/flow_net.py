@@ -94,9 +94,20 @@ class FlowNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, img1: Array, img2: Array, train: bool = False
+        self,
+        img1: Array,
+        img2: Array,
+        extras: list[Array] | None = None,
+        train: bool = False,
     ) -> tuple[dict[int, Array], list[Array]]:
-        x = jnp.concatenate([img1, img2], axis=-1)
+        """extras: additional channel-stacked inputs (rigid warp image / rigid
+        flow / warp error) when n_ch > 0 — the reference's use_rigid path
+        (flow_net_v1.py:103-107, eval_utils.py:220-225)."""
+        parts = [img1, img2]
+        if self.n_ch:
+            assert extras, "n_ch > 0 requires the rigid extra inputs"
+            parts += list(extras)
+        x = jnp.concatenate(parts, axis=-1)
         encoder = ResNetEncoder(
             num_layers=self.num_layers,
             num_input_images=2,

@@ -73,6 +73,20 @@ class TestFlowNet:
         assert float(jnp.abs(flows[0]).max()) < 10.0  # sanity: not pixel-scale
 
 
+class TestFlowNetRigidInputs:
+    def test_n_ch_extras(self, imgs):
+        """use_rigid path: n_ch extra channels concatenated into conv1
+        (reference: flow_net_v1.py:103-107)."""
+        a, b = imgs
+        net = FlowNet(n_ch=6, dtype=jnp.float32)
+        extras = [a, b]  # 6 extra channels
+        variables = net.init(jax.random.PRNGKey(0), a, b, extras)
+        flows, feats = net.apply(variables, a, b, extras)
+        assert flows[0].shape == (2, H, W, 2)
+        k = variables["params"]["encoder"]["conv1"]["kernel"]
+        assert k.shape[2] == 12  # 6 (two frames) + 6 extra
+
+
 class TestPoseNet:
     def test_output_shapes_and_scale(self, imgs):
         a, b = imgs
