@@ -472,10 +472,22 @@ def static_input_shape() -> tuple[int, int]:
 
 
 class MaskRCNNBackend:
-    """Host-facing single-image inference (GT tooling / eval)."""
+    """Host-facing single-image inference (GT tooling / eval).
 
-    def __init__(self, weights_path: str | None = None, max_det: int = 32):
-        self.model = MaskRCNN(max_det=max_det)
+    The whole pipeline — detection, full-res mask pasting, thresholding —
+    runs as one jitted program per (output height, width); only fixed-size
+    uint8 masks and the detection table cross the host boundary."""
+
+    def __init__(self, weights_path: str | None = None, max_det: int = 32,
+                 fast: bool = False):
+        """fast=True shrinks the proposal top-k budget (256/256 instead of
+        detectron2's test-time 1000/1000) — ~minor quality change, much
+        cheaper static NMS; used by the training-time mask provider."""
+        if fast:
+            self.model = MaskRCNN(max_det=max_det, pre_nms_topk=256,
+                                  post_nms_topk=256, box_candidates=512)
+        else:
+            self.model = MaskRCNN(max_det=max_det)
         sh, sw = static_input_shape()
         if weights_path:
             self.variables = import_detectron2_pth(weights_path, self.model)
@@ -486,24 +498,35 @@ class MaskRCNNBackend:
                 jnp.array(float(sh)),
                 jnp.array(float(sw)),
             )
-        self._apply = jax.jit(self.model.apply)
+
+        @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def run(variables, padded, nh, nw, scale, out_h, out_w):
+            det = self.model.apply(variables, padded, nh, nw)
+            boxes = det.boxes / scale
+            pasted = paste_masks(det.masks28, boxes, out_h, out_w)
+            masks = (pasted >= 0.5).astype(jnp.uint8) * det.valid[:, None, None]
+            return masks, boxes, det.classes, det.scores, det.valid
+
+        self._run = run
 
     def predict(self, img_rgb: np.ndarray):
         """→ (masks (N, H, W) uint8, boxes (N, 4), classes (N,), scores (N,))
         at the original image resolution."""
         h, w = img_rgb.shape[:2]
         padded, scale, nh, nw = preprocess_np(img_rgb)
-        det = self._apply(
-            self.variables, jnp.asarray(padded), jnp.array(float(nh)), jnp.array(float(nw))
+        masks, boxes, classes, scores, valid = jax.device_get(
+            self._run(
+                self.variables,
+                jnp.asarray(padded),
+                jnp.array(float(nh)),
+                jnp.array(float(nw)),
+                jnp.array(scale, jnp.float32),
+                h,
+                w,
+            )
         )
-        det = jax.device_get(det)
-        valid = det.valid.astype(bool)
-        boxes = det.boxes[valid] / scale
-        pasted = paste_masks(
-            jnp.asarray(det.masks28[valid]), jnp.asarray(det.boxes[valid] / scale), h, w
-        )
-        masks = (np.asarray(pasted) >= 0.5).astype(np.uint8)
-        return masks, boxes, det.classes[valid], det.scores[valid]
+        keep = valid.astype(bool)
+        return masks[keep], boxes[keep], classes[keep], scores[keep]
 
 
 class MaskRCNNProvider:
@@ -515,7 +538,9 @@ class MaskRCNNProvider:
 
         weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
         self.backend = MaskRCNNBackend(
-            weights if os.path.exists(weights) else None, max_det=cfg.d2_max_instances
+            weights if os.path.exists(weights) else None,
+            max_det=cfg.d2_max_instances,
+            fast=True,
         )
         self._img_cache: dict[str, np.ndarray] = {}
 
