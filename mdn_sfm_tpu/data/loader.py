@@ -70,19 +70,34 @@ class HostLoader:
             indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
         ]
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        import time
+
         job_q: "queue.Queue" = queue.Queue()
         results: dict[int, object] = {}
         lock = threading.Lock()
+        stop = threading.Event()
+        consumed = [0]  # consumer position, guarded by lock
 
         for bi, b in enumerate(batches):
             job_q.put((bi, b))
 
+        window = self.prefetch + self.num_workers
+
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     bi, idxs = job_q.get_nowait()
                 except queue.Empty:
+                    return
+                # bound the prefetch window (relative to the consumer
+                # position) so early consumer exits don't leave workers
+                # decoding the whole epoch
+                while not stop.is_set():
+                    with lock:
+                        if bi - consumed[0] < window:
+                            break
+                    time.sleep(0.002)
+                if stop.is_set():
                     return
                 items = [self.dataset[int(i)] for i in idxs]
                 cols = tuple(np.stack([it[k] for it in items]) for k in range(len(items[0])))
@@ -93,13 +108,16 @@ class HostLoader:
         for t in threads:
             t.start()
 
-        # Emit batches in order as they complete.
-        import time
-
-        for bi in range(nb):
-            while True:
-                with lock:
-                    if bi in results:
-                        yield results.pop(bi)
-                        break
-                time.sleep(0.001)
+        try:
+            # Emit batches in order as they complete.
+            for bi in range(nb):
+                while True:
+                    with lock:
+                        if bi in results:
+                            out = results.pop(bi)
+                            consumed[0] = bi + 1
+                            break
+                    time.sleep(0.001)
+                yield out
+        finally:
+            stop.set()  # generator closed early → stop the decode threads
