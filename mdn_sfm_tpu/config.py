@@ -157,6 +157,9 @@ class Config:
     #  batch stats during training — trainer.py:201-205,226. Set False to mimic.)
     donate_state: bool = True
     profile_dir: str = ""             # if set, jax.profiler traces are written here
+    steps_per_dispatch: int = 1       # optimizer steps fused per device dispatch
+    # (lax.scan; amortizes host→device latency — essential on tunnel-attached
+    #  chips; logging granularity becomes one record per dispatch)
 
     # ------------------------------------------------------------------ utils
 
@@ -248,6 +251,7 @@ _TRAIN_FIELDS = [
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
+    "steps_per_dispatch",
 ]
 
 _EVAL_FIELDS = [

@@ -140,6 +140,11 @@ class Trainer:
                 print("Cannot find Adam weights so Adam is randomly initialized")
 
         self.step_fn = T.make_train_step(cfg, self.models, self.tx)
+        self.kstep_fn = (
+            T.make_multi_train_step(cfg, self.models, self.tx)
+            if cfg.steps_per_dispatch > 1
+            else None
+        )
         self.eval_fn = T.make_eval_forward(cfg, self.models)
 
         # data-parallel placement: shrink the data axis to the largest
@@ -206,6 +211,12 @@ class Trainer:
         self.save_model(self.idx_save)
 
     def run_epoch(self):
+        if self.cfg.steps_per_dispatch > 1:
+            self._run_epoch_multi()
+        else:
+            self._run_epoch_single()
+
+    def _run_epoch_single(self):
         cfg = self.cfg
         for batch_idx, (arrays, idxs) in enumerate(self.train_loader):
             if cfg.profile_dir and self.step == 10:
@@ -228,6 +239,40 @@ class Trainer:
 
             self.step += 1
             if self.step % cfg.save_frequency == 0:
+                self.save_model(self.idx_save)
+                self.idx_save += 1
+
+    def _run_epoch_multi(self):
+        """K optimizer steps per device dispatch (lax.scan) — amortizes
+        host→device latency; scalar logging is per dispatch (K-step means),
+        image logging uses the single-step path on log dispatches."""
+        cfg = self.cfg
+        K = cfg.steps_per_dispatch
+        pend: list = []
+        dispatch_idx = 0
+        for arrays, idxs in self.train_loader:
+            keys = [self.sample_keys[int(i)] for i in idxs]
+            pend.append(self._device_batch(arrays, keys))
+            if len(pend) < K:
+                continue
+            before = time.time()
+            stacked = {
+                k: jnp.stack([b[k] for b in pend]) for k in pend[0]
+            }
+            pend = []
+            self.state, metrics = self.kstep_fn(self.state, self.frozen, stacked, self.rng)
+
+            if dispatch_idx % max(cfg.log_frequency // K, 1) == 0:
+                loss = float(metrics["loss"])
+                self.log_time(dispatch_idx * K, (time.time() - before) / K, loss)
+                if self.writers:
+                    for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
+                        self.writers["train"].add_scalar(k, float(metrics[k]), self.step)
+                self.val()
+
+            self.step += K
+            dispatch_idx += 1
+            if self.step // cfg.save_frequency > (self.step - K) // cfg.save_frequency:
                 self.save_model(self.idx_save)
                 self.idx_save += 1
 

@@ -84,6 +84,19 @@ class TestTrainLoop:
         np.testing.assert_allclose(np.asarray(leaves_a[0]), np.asarray(leaves_b[0]))
 
 
+class TestMultiDispatch:
+    def test_k_steps_per_dispatch_trains_and_saves(self, tmp_path):
+        cfg = make_cfg(str(tmp_path), steps_per_dispatch=4, save_frequency=8,
+                       v_save="vk")
+        trainer = Trainer(cfg, synthetic=True)
+        trainer.train()
+        import jax
+
+        assert int(jax.device_get(trainer.state.step)) >= 8
+        models_dir = os.path.join(cfg.log_dir, "vk", "models")
+        assert any(d.startswith("weights_") for d in os.listdir(models_dir))
+
+
 class TestTools:
     def test_epipolar_statics(self, trained):
         """Percentile tool: 8 thresholds out, percentiles file written
