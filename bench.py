@@ -63,12 +63,12 @@ def main() -> None:
     # warmup (compile). Sync with an actual host transfer: on some remote
     # backends block_until_ready returns before execution completes, which
     # would make the timing fictional.
-    state, metrics = kstep(state, frozen, batches, rng)
+    state, frozen, metrics, _ = kstep(state, frozen, batches, rng)
     float(jax.device_get(metrics["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
-        state, metrics = kstep(state, frozen, batches, rng)
+        state, frozen, metrics, _ = kstep(state, frozen, batches, rng)
     float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
 

@@ -226,7 +226,9 @@ class Trainer:
             before = time.time()
             keys = [self.sample_keys[int(i)] for i in idxs]
             batch = self._device_batch(arrays, keys)
-            self.state, metrics, aux = self.step_fn(self.state, self.frozen, batch, self.rng)
+            self.state, self.frozen, metrics, aux = self.step_fn(
+                self.state, self.frozen, batch, self.rng
+            )
 
             early = batch_idx % cfg.log_frequency == 0 and self.step < 2000
             late = self.step % 1000 == 0
@@ -245,7 +247,9 @@ class Trainer:
     def _run_epoch_multi(self):
         """K optimizer steps per device dispatch (lax.scan) — amortizes
         host→device latency; scalar logging is per dispatch (K-step means),
-        image logging uses the single-step path on log dispatches."""
+        image logging uses the scan's carried last-step aux. Epoch-tail
+        batches that don't fill a K-window flush through the single-step
+        path, so items/epoch is identical to steps_per_dispatch=1."""
         cfg = self.cfg
         K = cfg.steps_per_dispatch
         pend: list = []
@@ -260,19 +264,29 @@ class Trainer:
                 k: jnp.stack([b[k] for b in pend]) for k in pend[0]
             }
             pend = []
-            self.state, metrics = self.kstep_fn(self.state, self.frozen, stacked, self.rng)
+            self.state, self.frozen, metrics, aux = self.kstep_fn(
+                self.state, self.frozen, stacked, self.rng
+            )
 
             if dispatch_idx % max(cfg.log_frequency // K, 1) == 0:
                 loss = float(metrics["loss"])
                 self.log_time(dispatch_idx * K, (time.time() - before) / K, loss)
-                if self.writers:
-                    for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
-                        self.writers["train"].add_scalar(k, float(metrics[k]), self.step)
+                self.log(metrics, aux, log_image=True)
                 self.val()
 
             self.step += K
             dispatch_idx += 1
             if self.step // cfg.save_frequency > (self.step - K) // cfg.save_frequency:
+                self.save_model(self.idx_save)
+                self.idx_save += 1
+
+        # flush the epoch tail (< K buffered batches) one step at a time
+        for batch in pend:
+            self.state, self.frozen, metrics, _ = self.step_fn(
+                self.state, self.frozen, batch, self.rng
+            )
+            self.step += 1
+            if self.step % cfg.save_frequency == 0:
                 self.save_model(self.idx_save)
                 self.idx_save += 1
 
@@ -364,6 +378,28 @@ class Trainer:
         w.add_image("0/mobile", mob[None], self.step)
         w.add_image("0/mobile_bi", binary_image(mob, 0.4)[None], self.step)
 
+        # instance panel (reference val logs the detectron2 box panel,
+        # trainer.py:317-328): boxes from the val annotations, plus the live
+        # provider's union mask when one is configured
+        anns = inputs.get("annotations")
+        if anns and "instance_img" in inputs:
+            from .viz import draw_boxes_rgb
+
+            inst = np.clip(np.asarray(inputs["instance_img"]), 0, 255).astype(np.uint8)
+            boxes = np.array([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
+            w.add_image(
+                "0/instances", draw_boxes_rgb(inst, boxes, None), self.step,
+                dataformats="HWC",
+            )
+        if self.mask_provider is not None and hasattr(
+            self.mask_provider, "union_masks_from_images"
+        ):
+            tgt_u8 = np.clip((np.asarray(tgt) * 0.225 + 0.45) * 255.0, 0, 255).astype(np.uint8)
+            union = np.asarray(
+                self.mask_provider.union_masks_from_images(tgt_u8, cfg.height, cfg.width)
+            )
+            w.add_image("0/instance_union", union[0][None], self.step)
+
     # ------------------------------------------------------------- tools
 
     def epipolar_statics(self, num_quantile: int = 1000, max_batches: int | None = None):
@@ -434,7 +470,7 @@ class Trainer:
                     break
                 keys = [self.sample_keys[int(i)] for i in idxs]
                 batch = self._device_batch(arrays, keys)
-                state, metrics, _ = step_fn(state, frozen, batch, self.rng)
+                state, frozen, metrics, _ = step_fn(state, frozen, batch, self.rng)
                 if self.writers and bi % 50 == 0:
                     for k in ("loss", "epip", "smooth", "consis"):
                         self.writers["train"].add_scalar(f"{v}/{k}", float(metrics[k]), bi)

@@ -147,12 +147,24 @@ def forward_frame(
     frozen: dict,
     tgt: Array,
     ref: Array,
-) -> tuple[dict, dict, Array, Array, Array]:
+) -> tuple[dict, dict, Array, Array, Array, dict]:
     """One target/reference pair through flow + pose + mobile
     (reference: trainer.py:266-276).
 
     Returns (flows {scale: (B,Hs,Ws,2)}, mobiles {scale: ...}, axisangle,
-    translation, cam_T_cam).
+    translation, cam_T_cam, new_frozen).
+
+    BatchNorm regimes (reference: set_train() keeps the frozen flow/pose in
+    train mode, trainer.py:201-205,226 — their BN normalizes with BATCH
+    statistics every step and updates the running averages used at val time):
+
+    * ``bn_frozen_eval=True`` (default): eval-mode BN — running averages,
+      ``new_frozen is frozen`` unchanged.
+    * ``bn_frozen_eval=False``: train-mode BN — batch statistics, and the
+      updated running stats are carried in ``new_frozen`` (reference parity).
+      Documented deviation: the reference runs one B-sized forward per
+      reference frame; we stack the frames into a single 2B forward, so the
+      batch statistics are computed over 2B samples per step.
     """
     flow_vars = dict(frozen["flownet"])
     pose_vars = dict(frozen["posenet"])
@@ -161,8 +173,22 @@ def forward_frame(
         pose_vars["params"] = params["posenet"]
     bn_train = not cfg.bn_frozen_eval
 
-    flows, feats = models.flow.apply(flow_vars, tgt, ref, train=bn_train)
-    aa, t = models.pose.apply(pose_vars, tgt, ref, train=bn_train)
+    new_frozen = frozen
+    if bn_train:
+        (flows, feats), fmut = models.flow.apply(
+            flow_vars, tgt, ref, train=True, mutable=["batch_stats"]
+        )
+        (aa, t), pmut = models.pose.apply(
+            pose_vars, tgt, ref, train=True, mutable=["batch_stats"]
+        )
+        new_frozen = dict(frozen)
+        new_frozen["flownet"] = dict(frozen["flownet"])
+        new_frozen["posenet"] = dict(frozen["posenet"])
+        new_frozen["flownet"]["batch_stats"] = jax.lax.stop_gradient(fmut["batch_stats"])
+        new_frozen["posenet"]["batch_stats"] = jax.lax.stop_gradient(pmut["batch_stats"])
+    else:
+        flows, feats = models.flow.apply(flow_vars, tgt, ref, train=False)
+        aa, t = models.pose.apply(pose_vars, tgt, ref, train=False)
 
     if "flownet" not in params:
         # frozen supervision signal — cut any residual graph
@@ -173,7 +199,7 @@ def forward_frame(
 
     mobiles = models.mobile.apply({"params": params["mobile_decoder"]}, feats, aa, t)
     cam = transformation_from_parameters(aa, t)
-    return flows, mobiles, aa, t, cam
+    return flows, mobiles, aa, t, cam, new_frozen
 
 
 def loss_from_batch(
@@ -184,7 +210,7 @@ def loss_from_batch(
     colors: dict,
     inv_Ks: dict,
     instance_mask: Optional[Array],
-) -> tuple[Array, tuple[dict, LossAux]]:
+) -> tuple[Array, tuple[dict, LossAux, dict]]:
     """Forward both reference frames and compute the full loss.
 
     The reference runs one (tgt, ref) pair per call in a python loop
@@ -200,7 +226,7 @@ def loss_from_batch(
     tgt_rep = jnp.concatenate([tgt] * nf, axis=0)
     refs = jnp.concatenate([colors[(i, 0)] for i in frame_ids], axis=0)
 
-    f_all, m_all, aa, t, cam_all = forward_frame(
+    f_all, m_all, aa, t, cam_all, new_frozen = forward_frame(
         cfg, models, params, frozen, tgt_rep, refs
     )
 
@@ -213,7 +239,7 @@ def loss_from_batch(
         cams[i] = cam_all[sl]
 
     losses, aux = compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, instance_mask)
-    return losses["loss"], (losses, aux)
+    return losses["loss"], (losses, aux, new_frozen)
 
 
 # --------------------------------------------------------------- train step
@@ -226,11 +252,15 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
             optional 'instance_mask': (B, Hm, Wm) float32}
     Shard the batch's leading axis over Mesh('data') and replicate
     state/frozen; XLA SPMD emits the grad all-reduce.
+
+    Returns (state, frozen, metrics, aux) — ``frozen`` carries updated BN
+    running stats when ``bn_frozen_eval=False`` (else passes through
+    unchanged; see :func:`forward_frame`).
     """
 
     def step(
         state: TrainState, frozen: dict, batch: dict, rng: Array
-    ) -> tuple[TrainState, dict, LossAux]:
+    ) -> tuple[TrainState, dict, dict, LossAux]:
         rng = jax.random.fold_in(rng, state.step)
         colors, inv_Ks, _ = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
         instance_mask = batch.get("instance_mask")
@@ -238,16 +268,18 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
         def loss_fn(params):
             return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
 
-        grads, (losses, aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(params, opt_state, state.step + 1)
-        return new_state, metrics, aux
+        return new_state, new_frozen, metrics, aux
 
-    donate = (0,) if cfg.donate_state else ()
+    # frozen is returned (BN stats may update) — donating lets the unchanged
+    # pass-through alias instead of copy; callers must reassign it each call
+    donate = (0, 1) if cfg.donate_state else ()
     return jax.jit(step, donate_argnums=donate)
 
 
@@ -264,12 +296,14 @@ def make_multi_train_step(
     batch: same dict as make_train_step but with a leading K axis:
         {'colors_u8': (K, B, F, H, W, 3), 'K': (K, B, 4, 4),
          optional 'instance_mask': (K, B, Hm, Wm)}
-    Returns (state, metrics) with metrics averaged over the K steps, plus the
-    last step's aux.
+    Returns (state, frozen, metrics, aux): metrics averaged over the K steps,
+    aux from the LAST step (carried through the scan so image logging works
+    without a separate single-step dispatch), frozen with updated BN stats
+    when ``bn_frozen_eval=False``.
     """
 
     def one_step(carry, batch_k):
-        state, frozen, rng = carry
+        state, frozen, rng, _last_aux = carry
         step_rng = jax.random.fold_in(rng, state.step)
         colors, inv_Ks, _ = augment_batch(
             cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
@@ -279,20 +313,35 @@ def make_multi_train_step(
         def loss_fn(params):
             return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
 
-        grads, (losses, _aux) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return (TrainState(params, opt_state, state.step + 1), frozen, rng), metrics
+        return (TrainState(params, opt_state, state.step + 1), new_frozen, rng, aux), metrics
+
+    def _aux_only(state, frozen, batch_k, rng):
+        """Trace-only twin of one_step's loss pass, used to shape the aux
+        carry slot via jax.eval_shape (no compilation, no FLOPs)."""
+        step_rng = jax.random.fold_in(rng, state.step)
+        colors, inv_Ks, _ = augment_batch(
+            cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
+        )
+        _, (_, aux, _) = loss_from_batch(
+            cfg, models, state.params, frozen, colors, inv_Ks, batch_k.get("instance_mask")
+        )
+        return aux
 
     def k_steps(state: TrainState, frozen: dict, batches: dict, rng: Array):
-        (state, _, _), metrics = jax.lax.scan(
-            one_step, (state, frozen, rng), batches, unroll=unroll
+        batch0 = jax.tree.map(lambda x: x[0], batches)
+        aux_shapes = jax.eval_shape(_aux_only, state, frozen, batch0, rng)
+        aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+        (state, frozen, _, aux), metrics = jax.lax.scan(
+            one_step, (state, frozen, rng, aux0), batches, unroll=unroll
         )
-        return state, jax.tree.map(jnp.mean, metrics)
+        return state, frozen, jax.tree.map(jnp.mean, metrics), aux
 
-    donate = (0,) if cfg.donate_state else ()
+    donate = (0, 1) if cfg.donate_state else ()
     return jax.jit(k_steps, donate_argnums=donate)
 
 

@@ -45,7 +45,7 @@ class TestTrainStep:
         tx = T.make_optimizer(cfg, steps_per_epoch=10)
         state, frozen = T.create_train_state(cfg, models, variables, tx)
         step = T.make_train_step(cfg, models, tx)
-        state, metrics, aux = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        state, frozen, metrics, aux = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
         for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
             assert np.isfinite(float(metrics[k])), k
         assert int(state.step) == 1
@@ -57,7 +57,7 @@ class TestTrainStep:
         state, frozen = T.create_train_state(cfg, models, variables, tx)
         assert set(state.params) == {"mobile_decoder"}
         step = T.make_train_step(cfg, models, tx)
-        new_state, _, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        new_state, _, _, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
         # params actually moved
         delta = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
@@ -81,7 +81,7 @@ class TestTrainStep:
         rng = jax.random.PRNGKey(2)
         first = None
         for i in range(8):
-            state, metrics, _ = step(state, frozen, batch, rng)
+            state, frozen, metrics, _ = step(state, frozen, batch, rng)
             if first is None:
                 first = float(metrics["loss"])
         assert float(metrics["loss"]) < first
@@ -91,7 +91,7 @@ class TestTrainStep:
         tx = T.make_optimizer(cfg, steps_per_epoch=10)
         state, frozen = T.create_train_state(cfg, models, variables, tx)
         step = T.make_train_step(cfg, models, tx)
-        _, metrics, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        _, _, metrics, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["grad_norm"]))
 
 
@@ -113,11 +113,17 @@ class TestMultiStep:
         rng = jax.random.PRNGKey(9)
 
         s_seq = state
+        _aux_last = None
         for b in batches:
-            s_seq, m_seq, _ = step(s_seq, frozen, b, rng)
+            s_seq, frozen, m_seq, _aux_last = step(s_seq, frozen, b, rng)
 
-        s_k, m_k = kstep(state, frozen, stacked, rng)
+        s_k, _, m_k, aux_k = kstep(state, frozen, stacked, rng)
         assert int(s_k.step) == K
+        # last-step aux is carried out of the scan for image logging
+        assert aux_k.min_mobiles[0].shape == (cfg.batch_size, cfg.height, cfg.width, 1)
+        np.testing.assert_allclose(
+            np.asarray(aux_k.min_mobiles[0]), np.asarray(_aux_last.min_mobiles[0]), atol=1e-6
+        )
         np.testing.assert_allclose(
             np.asarray(jax.tree.leaves(s_k.params)[0]),
             np.asarray(jax.tree.leaves(s_seq.params)[0]),
@@ -158,13 +164,89 @@ class TestDataParallel:
         batch = _batch(cfg8)
 
         # single device
-        _, m_single, _ = step(state, frozen, batch, jax.random.PRNGKey(3))
+        _, _, m_single, _ = step(state, frozen, batch, jax.random.PRNGKey(3))
 
         # 8-way data parallel
         mesh = make_mesh(8)
         state_r = replicate(mesh, state)
         frozen_r = replicate(mesh, frozen)
         batch_s = shard_batch(mesh, batch)
-        _, m_sharded, _ = step(state_r, frozen_r, batch_s, jax.random.PRNGKey(3))
+        _, _, m_sharded, _ = step(state_r, frozen_r, batch_s, jax.random.PRNGKey(3))
 
         assert float(m_sharded["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
+
+
+class TestBatchNormRegimes:
+    """Reference parity: set_train() keeps the frozen flow/pose in train mode,
+    so their BN normalizes with batch stats and updates the running averages
+    (reference: trainer.py:201-205,226). bn_frozen_eval=False mimics that;
+    the default (True) uses eval-mode running averages."""
+
+    def test_bn_train_mode_runs_and_updates_stats(self, setup):
+        _, models0, variables = setup
+        cfg = tiny_cfg(bn_frozen_eval=False)
+        models = T.build_models(cfg)
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        batch = _batch(cfg, seed=7)
+        state, new_frozen, metrics, _ = step(state, frozen, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # running stats moved (momentum EMA toward the batch statistics)
+        before = jax.tree.leaves(frozen["flownet"]["batch_stats"])
+        after = jax.tree.leaves(new_frozen["flownet"]["batch_stats"])
+        deltas = [float(jnp.abs(a - b).max()) for a, b in zip(after, before)]
+        assert max(deltas) > 0, "train-mode BN must update running stats"
+
+    def test_bn_regimes_differ(self, setup):
+        _, _, variables = setup
+        losses = {}
+        for flag in (True, False):
+            cfg = tiny_cfg(bn_frozen_eval=flag)
+            models = T.build_models(cfg)
+            tx = T.make_optimizer(cfg, steps_per_epoch=10)
+            state, frozen = T.create_train_state(cfg, models, variables, tx)
+            step = T.make_train_step(cfg, models, tx)
+            _, _, metrics, _ = step(state, frozen, _batch(cfg, seed=7), jax.random.PRNGKey(1))
+            losses[flag] = float(metrics["loss"])
+        assert losses[True] != losses[False], "batch-stat vs running-stat BN must differ"
+
+    def test_bn_frozen_eval_passthrough(self, setup):
+        """Default regime: frozen passes through the step unchanged."""
+        cfg, models, variables = setup
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        _, new_frozen, _, _ = step(state, frozen, _batch(cfg), jax.random.PRNGKey(1))
+        a = jax.tree.leaves(frozen["flownet"]["batch_stats"])[0]
+        b = jax.tree.leaves(new_frozen["flownet"]["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_kstep_carries_bn_stats(self, setup):
+        _, _, variables = setup
+        cfg = tiny_cfg(bn_frozen_eval=False)
+        models = T.build_models(cfg)
+        tx = T.make_optimizer(cfg, steps_per_epoch=0)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_train_step(cfg, models, tx)
+        kstep = T.make_multi_train_step(cfg, models, tx)
+        K = 2
+        batches = [_batch(cfg, seed=s) for s in range(K)]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+        rng = jax.random.PRNGKey(9)
+
+        s_seq, f_seq = state, frozen
+        for b in batches:
+            s_seq, f_seq, _, _ = step(s_seq, f_seq, b, rng)
+        s_k, f_k, _, _ = kstep(state, frozen, stacked, rng)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(f_k["flownet"]["batch_stats"])[0]),
+            np.asarray(jax.tree.leaves(f_seq["flownet"]["batch_stats"])[0]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(s_k.params)[0]),
+            np.asarray(jax.tree.leaves(s_seq.params)[0]),
+            atol=1e-6,
+        )
