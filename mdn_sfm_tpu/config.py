@@ -146,6 +146,9 @@ class Config:
     mask_dir: str = "output/prediction/detectron2/pred_masks"
     d2_score_thresh: float = 0.3    # cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST (trainer.py:175)
     d2_max_instances: int = 32      # static padding for TPU shapes
+    d2_infer_scale: int = 2         # live-provider inference res = scale × training res
+    # (deviation from the reference's shortest-edge-1024 resize — see
+    #  masks/maskrcnn.py::MaskRCNNProvider)
 
     # TPU-NATIVE knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"   # conv compute dtype; params and losses stay fp32
@@ -250,6 +253,7 @@ _TRAIN_FIELDS = [
     "num_workers", "models_to_load", "load_adam", "v_load", "idx_load",
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
+    "d2_infer_scale",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
     "steps_per_dispatch",
 ]
@@ -262,7 +266,7 @@ _EVAL_FIELDS = [
     "gt_mask_path", "sequence_length", "binary_threshold", "eval_num_samples",
     "save_pred_masks", "save_pred_motions", "save_pred_poses", "pred_errors",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
-    "compute_dtype",
+    "d2_infer_scale", "compute_dtype",
 ]
 
 

@@ -295,17 +295,63 @@ def assign_fpn_level(boxes: Array) -> Array:
     return jnp.clip(lvl, 2, 5).astype(jnp.int32)
 
 
-def multilevel_roi_align(feats: list[Array], boxes: Array, out_size: int) -> Array:
-    """ROIAlign over P2..P5 with per-box level assignment. Computes each
-    level for all boxes and selects — static shapes beat gather-by-level on
-    TPU for R ≲ 1k."""
-    lvl = assign_fpn_level(boxes)
-    pooled = None
-    for i, feat in enumerate(feats[:4]):  # P2..P5
-        p = roi_align(feat, boxes, out_size, stride=float(2 ** (i + 2)))
-        sel = (lvl == i + 2)[:, None, None, None]
-        pooled = p * sel if pooled is None else pooled + p * sel
-    return pooled
+def multilevel_roi_align(
+    feats: list[Array], boxes: Array, out_size: int, sampling: int = 2
+) -> Array:
+    """ROIAlign over P2..P5 with per-box level assignment.
+
+    All four levels are flattened into ONE (ΣHₗWₗ, C) buffer and each box
+    gathers its bilinear taps from the row range of its assigned level —
+    one gather pass total, instead of computing every level for every box
+    and masking (which cost 4× the HBM traffic and dominated the 1.8 s/img
+    profile noted in PARITY.md round 1)."""
+    shapes = [(f.shape[0], f.shape[1]) for f in feats[:4]]
+    c = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats[:4]], axis=0)
+
+    offs, off = [], 0
+    for h, w in shapes:
+        offs.append(off)
+        off += h * w
+    level_off = jnp.asarray(offs, jnp.int32)                      # (4,)
+    level_h = jnp.asarray([s[0] for s in shapes], jnp.int32)
+    level_w = jnp.asarray([s[1] for s in shapes], jnp.int32)
+    level_stride = jnp.asarray([4.0, 8.0, 16.0, 32.0], jnp.float32)
+
+    lvl = assign_fpn_level(boxes) - 2                             # (R,) in [0, 3]
+    stride = level_stride[lvl]
+    h_l = level_h[lvl]
+    w_l = level_w[lvl]
+    off_l = level_off[lvl]
+
+    n = out_size * sampling
+
+    def one_box(box, stride, h, w, off):
+        x1, y1, x2, y2 = box / stride   # feature coords, aligned=True
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        xs = x1 + (jnp.arange(n) + 0.5) * bw / n - 0.5
+        ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        wx = (xs - x0)[None, :, None]
+        wy = (ys - y0)[:, None, None]
+
+        def gather(yi, xi):
+            yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+            xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            rows = off + yc[:, None] * w + xc[None, :]            # (n, n)
+            return flat[rows]                                      # (n, n, C)
+
+        v = (
+            gather(y0, x0) * (1 - wy) * (1 - wx)
+            + gather(y0, x0 + 1) * (1 - wy) * wx
+            + gather(y0 + 1, x0) * wy * (1 - wx)
+            + gather(y0 + 1, x0 + 1) * wy * wx
+        )
+        return v.reshape(out_size, sampling, out_size, sampling, c).mean((1, 3))
+
+    return jax.vmap(one_box)(boxes, stride, h_l, w_l, off_l)
 
 
 def paste_masks(masks28: Array, boxes: Array, out_h: int, out_w: int) -> Array:
@@ -376,8 +422,10 @@ class MaskRCNN(nn.Module):
         pyramid = FPN(dtype=self.dtype, name="fpn")(feats)
         logits, deltas = RPNHead(dtype=self.dtype, name="rpn_head")(pyramid)
 
-        # ---- proposals
-        all_boxes, all_scores = [], []
+        # ---- proposals (detectron2 find_top_rpn_proposals: per-level top-k,
+        # then NMS keyed by level — boxes only suppress within their own
+        # level — then a global post_nms_topk by score)
+        all_boxes, all_scores, all_lvls = [], [], []
         for li, (lg, dl) in enumerate(zip(logits, deltas)):
             stride = 2 ** (li + 2)
             hl, wl = lg.shape[1], lg.shape[2]
@@ -390,9 +438,14 @@ class MaskRCNN(nn.Module):
             boxes_l = clip_boxes(boxes_l, true_h, true_w)
             all_boxes.append(boxes_l)
             all_scores.append(top_s)
+            all_lvls.append(jnp.full((k,), li, jnp.float32))
         boxes = jnp.concatenate(all_boxes)
         scores = jnp.concatenate(all_scores)
-        keep, valid = nms_fixed(boxes, scores, RPN_NMS_THRESH, self.post_nms_topk)
+        lvls = jnp.concatenate(all_lvls)
+        # batched-NMS trick: offset each level into a disjoint coordinate
+        # range so one joint NMS is exactly per-level NMS
+        lvl_off = lvls[:, None] * (MAX_SIZE_TEST * 2.0)
+        keep, valid = nms_fixed(boxes + lvl_off, scores, RPN_NMS_THRESH, self.post_nms_topk)
         proposals = boxes[keep] * valid[:, None]  # invalid → degenerate at 0
 
         # ---- box head
@@ -530,45 +583,78 @@ class MaskRCNNBackend:
 
 
 class MaskRCNNProvider:
-    """Batch union-mask provider backed by the JAX Mask R-CNN
-    (drop-in for PrecomputedMaskProvider; reference loss_utils.py:102-124)."""
+    """Batched live union-mask provider backed by the JAX Mask R-CNN
+    (replaces the reference's per-step frozen detectron2 inference,
+    trainer.py:278-279 + loss_utils.py:102-124).
+
+    The whole batch runs as ONE jitted dispatch at a static inference
+    resolution of ``d2_infer_scale×`` the training resolution (default 2×,
+    e.g. 384×1280 for 192×640 training). Deliberate deviation from the
+    reference, which upsamples each frame to 375×1242 and lets detectron2
+    resize the shortest edge to 1024 (mono_dataset.py:111, utils.py:53-74)
+    — a per-image full-res pass costs ~1.8 s/img on TPU (PARITY.md) and
+    would dominate the train step."""
 
     def __init__(self, cfg):
         import os
 
-        weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
-        self.backend = MaskRCNNBackend(
-            weights if os.path.exists(weights) else None,
+        from ..geometry import resize_bilinear
+
+        scale = int(getattr(cfg, "d2_infer_scale", 2))
+        ih, iw = cfg.height * scale, cfg.width * scale
+        assert ih % 64 == 0 and iw % 64 == 0, "d2 inference shape must be /64 for FPN"
+        self.model = MaskRCNN(
             max_det=cfg.d2_max_instances,
-            fast=True,
+            pre_nms_topk=256,
+            post_nms_topk=256,
+            box_candidates=512,
         )
-        self._img_cache: dict[str, np.ndarray] = {}
+        weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
+        if os.path.exists(weights):
+            self.variables = import_detectron2_pth(weights, self.model)
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((ih, iw, 3)),
+                jnp.array(float(ih)),
+                jnp.array(float(iw)),
+            )
+
+        out_h, out_w = cfg.height, cfg.width
+        mean_bgr = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+
+        @jax.jit
+        def run(variables, images_u8):
+            x = resize_bilinear(images_u8.astype(jnp.float32), ih, iw)
+            x = x[..., ::-1] - mean_bgr  # RGB→BGR caffe normalization
+
+            def one(img):
+                det = self.model.apply(
+                    variables, img, jnp.float32(ih), jnp.float32(iw)
+                )
+                boxes = det.boxes / float(scale)  # back to training coords
+                pasted = paste_masks(det.masks28, boxes, out_h, out_w)
+                keep = (pasted >= 0.5) & det.valid[:, None, None]
+                return jnp.max(keep, axis=0).astype(jnp.float32)
+
+            return jax.vmap(one)(x)
+
+        self._run = run
 
     def union_masks_from_images(self, images_rgb: np.ndarray, height: int, width: int) -> np.ndarray:
-        """(B, H0, W0, 3) uint8 → (B, height, width) float union masks."""
-        import cv2
-
-        out = np.zeros((len(images_rgb), height, width), np.float32)
-        for b, img in enumerate(images_rgb):
-            masks, _, _, _ = self.backend.predict(img)
-            if len(masks):
-                union = (masks.sum(0) > 0).astype(np.float32)
-                out[b] = cv2.resize(union, (width, height))
-        return out
+        """(B, H0, W0, 3) uint8 RGB → (B, height, width) float union masks —
+        one jitted device dispatch for the whole batch."""
+        return self._run(self.variables, jnp.asarray(images_rgb))
 
     def union_masks(self, keys, height, width):  # MaskProvider protocol
-        return np.zeros((len(keys), height, width), np.float32)
+        raise RuntimeError(
+            "MaskRCNNProvider needs images, not sample keys — the trainer "
+            "must call union_masks_from_images. (A keyed lookup would "
+            "silently train DS/DC against all-zero masks.)"
+        )
 
 
 # ------------------------------------------------------------- .pth import
-
-
-def _d2_key_map(model: MaskRCNN) -> dict[str, tuple]:
-    """detectron2 state-dict key prefix → (collection, flax path prefix)."""
-    m: dict[str, tuple] = {}
-    # stem + res blocks
-    m["backbone.bottom_up.stem.conv1"] = ("bottom_up", "stem_conv1", "stem_bn1")
-    return m
 
 
 _BN_LEAF = {
@@ -636,36 +722,112 @@ def torch_d2_key_to_flax(key: str) -> tuple[str, tuple, str] | None:
     return None
 
 
-def import_detectron2_pth(path: str, model: MaskRCNN) -> dict:
-    """Load the reference's detectron2 checkpoint into the MaskRCNN variable
-    tree. Conv OIHW → HWIO; deconv OIHW → HWOI (flax ConvTranspose);
-    FC (out, in) → (in, out)."""
-    import torch
+# keys in a detectron2 R50-FPN checkpoint that deliberately have no flax
+# counterpart (constants re-derived here / training-only state)
+_IGNORABLE_D2_PREFIXES = (
+    "proposal_generator.anchor_generator.",  # cell anchors — rebuilt in anchors_for_level
+    "pixel_mean",
+    "pixel_std",
+)
 
+
+def import_detectron2_state_dict(sd: dict, model: MaskRCNN, strict: bool = True) -> dict:
+    """Map an in-memory detectron2 state dict onto the MaskRCNN variable
+    tree. Layout conversions (each verified numerically in
+    tests/test_maskrcnn.py::TestD2Import):
+
+    * conv weight OIHW → HWIO (transpose 2,3,1,0)
+    * ConvTranspose2d weight (in, out, kh, kw) → flax ConvTranspose HWIO
+      (transpose 2,3,0,1) **plus a spatial flip** — torch's deconv is the
+      gradient of conv (kernel spatially reversed vs. lax.conv_transpose)
+    * FC weight (out, in) → (in, out)
+
+    With ``strict`` every key must either map or match a known-ignorable
+    prefix, and every leaf of the model's variable tree must be filled.
+    """
     from ..checkpoints import _unflatten, merge_partial
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if "model" in sd and isinstance(sd["model"], dict):
-        sd = sd["model"]
-
     flat: dict[tuple, np.ndarray] = {}
+    unmapped: list[str] = []
     for key, val in sd.items():
         mapped = torch_d2_key_to_flax(key)
         if mapped is None:
+            if not key.startswith(_IGNORABLE_D2_PREFIXES):
+                unmapped.append(key)
             continue
         coll, p, kind = mapped
         arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
         if kind == "conv" and arr.ndim == 4:
             arr = arr.transpose(2, 3, 1, 0)
         elif kind == "convT" and arr.ndim == 4:
-            arr = arr.transpose(2, 3, 0, 1)  # IOHW? torch deconv weight is (in, out, kh, kw)
+            arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1]
         elif kind == "fc" and arr.ndim == 2:
             arr = arr.T
         flat[(coll,) + p] = arr
+    if strict and unmapped:
+        raise ValueError(f"unmapped detectron2 keys ({len(unmapped)}): {unmapped[:8]} ...")
     loaded = _unflatten(flat)
 
+    # shape-only template — eval_shape avoids actually running the model
     sh, sw = static_input_shape()
-    template = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((sh, sw, 3)), jnp.array(float(sh)), jnp.array(float(sw))
+    template_shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((sh, sw, 3)),
+        jnp.array(float(sh)), jnp.array(float(sw)),
     )
-    return merge_partial(template, loaded)
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template_shapes)
+    if strict:
+        # count + shape check: every template leaf must be provided
+        tmpl_leaves = jax.tree.leaves(template)
+        if len(flat) != len(tmpl_leaves):
+            missing = _describe_unfilled(template, loaded)
+            raise ValueError(
+                f"checkpoint fills {len(flat)} leaves but the model has "
+                f"{len(tmpl_leaves)}; unfilled: {missing[:8]} ..."
+            )
+    merged = merge_partial(template, loaded)
+    if strict:
+        for p, (a, b) in _zip_leaves(merged, template):
+            if a.shape != b.shape:
+                raise ValueError(f"shape mismatch at {p}: got {a.shape}, model wants {b.shape}")
+    return merged
+
+
+def _zip_leaves(a: dict, b: dict):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = jax.tree.leaves(b)
+    return [("/".join(str(k) for k in p), (x, y)) for (p, x), y in zip(fa, fb)]
+
+
+def _describe_unfilled(template: dict, loaded: dict) -> list[str]:
+    have = set()
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:
+            have.add(path)
+
+    walk(loaded, ())
+    out = []
+
+    def walk_t(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk_t(v, path + (k,))
+        elif path not in have:
+            out.append("/".join(path))
+
+    walk_t(jax.tree.map(lambda x: x, template), ())
+    return out
+
+
+def import_detectron2_pth(path: str, model: MaskRCNN, strict: bool = True) -> dict:
+    """Load the reference's ``model_final_detectron2.pth`` (trainer.py:165-179)
+    into the MaskRCNN variable tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return import_detectron2_state_dict(sd, model, strict=strict)

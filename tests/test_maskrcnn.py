@@ -211,3 +211,195 @@ class TestD2KeyMapping:
 
         missing = ours - covered
         assert not missing, f"unmapped flax leaves: {sorted(missing)[:8]}"
+
+
+def _torchify(path: tuple, arr: np.ndarray) -> np.ndarray:
+    """Inverse of import_detectron2_state_dict's layout transforms: flax
+    template leaf → the torch-layout array a detectron2 checkpoint stores."""
+    leaf = path[-1]
+    if leaf == "kernel" and arr.ndim == 4:
+        if "deconv" in path:
+            # flax HWIO (flipped) ← torch (in, out, kh, kw)
+            return np.ascontiguousarray(arr[::-1, ::-1].transpose(2, 3, 0, 1))
+        return np.ascontiguousarray(arr.transpose(3, 2, 0, 1))  # OIHW
+    if leaf == "kernel" and arr.ndim == 2:
+        return np.ascontiguousarray(arr.T)  # (out, in)
+    return np.asarray(arr)
+
+
+def _fake_d2_state_dict(variables) -> dict:
+    """Build a real-shaped detectron2 R50-FPN state dict whose values are the
+    torch-layout images of the given flax variables (so a correct import is
+    an exact round-trip)."""
+    from mdn_sfm_tpu.checkpoints import _flatten
+
+    # flax path → d2 key (reverse the forward mapping by enumeration)
+    keys = ["backbone.bottom_up.stem.conv1.weight"]
+    for leaf in ("weight", "bias", "running_mean", "running_var"):
+        keys.append(f"backbone.bottom_up.stem.conv1.norm.{leaf}")
+    for st, n in {"res2": 3, "res3": 4, "res4": 6, "res5": 3}.items():
+        for b in range(n):
+            if b == 0:
+                keys.append(f"backbone.bottom_up.{st}.{b}.shortcut.weight")
+                for leaf in ("weight", "bias", "running_mean", "running_var"):
+                    keys.append(f"backbone.bottom_up.{st}.{b}.shortcut.norm.{leaf}")
+            for c in (1, 2, 3):
+                keys.append(f"backbone.bottom_up.{st}.{b}.conv{c}.weight")
+                for leaf in ("weight", "bias", "running_mean", "running_var"):
+                    keys.append(f"backbone.bottom_up.{st}.{b}.conv{c}.norm.{leaf}")
+    for i in range(2, 6):
+        for leaf in ("weight", "bias"):
+            keys.append(f"backbone.fpn_lateral{i}.{leaf}")
+            keys.append(f"backbone.fpn_output{i}.{leaf}")
+    for name in ("conv", "objectness_logits", "anchor_deltas"):
+        for leaf in ("weight", "bias"):
+            keys.append(f"proposal_generator.rpn_head.{name}.{leaf}")
+    for name in ("fc1", "fc2"):
+        for leaf in ("weight", "bias"):
+            keys.append(f"roi_heads.box_head.{name}.{leaf}")
+    for name in ("cls_score", "bbox_pred"):
+        for leaf in ("weight", "bias"):
+            keys.append(f"roi_heads.box_predictor.{name}.{leaf}")
+    for name in ("mask_fcn1", "mask_fcn2", "mask_fcn3", "mask_fcn4", "deconv", "predictor"):
+        for leaf in ("weight", "bias"):
+            keys.append(f"roi_heads.mask_head.{name}.{leaf}")
+
+    flat = _flatten(jax.device_get(variables))
+    sd = {}
+    for k in keys:
+        coll, path, _kind = M.torch_d2_key_to_flax(k)
+        sd[k] = _torchify(path, np.asarray(flat[(coll,) + path], np.float32))
+    # training-only / rebuilt-constant keys that must be ignored, not fatal
+    sd["pixel_mean"] = np.zeros(3, np.float32)
+    sd["pixel_std"] = np.ones(3, np.float32)
+    for i in range(5):
+        sd[f"proposal_generator.anchor_generator.cell_anchors.{i}"] = np.zeros((3, 4), np.float32)
+    return sd
+
+
+class TestD2Import:
+    def test_fabricated_pth_roundtrip(self):
+        """A real-shaped R50-FPN state dict loads with zero unmapped keys and
+        zero unfilled leaves, and the imported tree equals the source."""
+        sh, sw = M.static_input_shape()
+        model = M.MaskRCNN(max_det=4, pre_nms_topk=16, post_nms_topk=8, box_candidates=16)
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(3), jnp.zeros((sh, sw, 3)),
+            jnp.array(float(sh)), jnp.array(float(sw)),
+        )
+        rng = np.random.default_rng(3)
+        variables = jax.tree.map(
+            lambda s: jnp.asarray(rng.normal(size=s.shape).astype(np.float32)), shapes
+        )
+        sd = _fake_d2_state_dict(variables)
+        merged = M.import_detectron2_state_dict(sd, model, strict=True)
+
+        src = jax.device_get(variables)
+        got = jax.device_get(merged)
+        for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_unknown_key_raises(self):
+        model = M.MaskRCNN(max_det=4, pre_nms_topk=16, post_nms_topk=8, box_candidates=16)
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(3), jnp.zeros((64, 128, 3)),
+            jnp.array(64.0), jnp.array(128.0),
+        )
+        variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        sd = _fake_d2_state_dict(variables)
+        sd["roi_heads.unexpected.weight"] = np.zeros((4, 4), np.float32)
+        with pytest.raises(ValueError, match="unmapped"):
+            M.import_detectron2_state_dict(sd, model, strict=True)
+
+    def test_missing_leaf_raises(self):
+        model = M.MaskRCNN(max_det=4, pre_nms_topk=16, post_nms_topk=8, box_candidates=16)
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(3), jnp.zeros((64, 128, 3)),
+            jnp.array(64.0), jnp.array(128.0),
+        )
+        variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        sd = _fake_d2_state_dict(variables)
+        del sd["roi_heads.mask_head.deconv.weight"]
+        with pytest.raises(ValueError, match="unfilled|fills"):
+            M.import_detectron2_state_dict(sd, model, strict=True)
+
+    def test_deconv_layout_matches_torch(self):
+        """torch ConvTranspose2d(256,256,2,stride=2) == flax ConvTranspose
+        with the imported (transposed + spatially flipped) kernel — resolves
+        the round-1 'IOHW?' uncertainty numerically."""
+        torch = pytest.importorskip("torch")
+        import flax.linen as nn
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 5, 5, 16)).astype(np.float32)
+        w = rng.normal(size=(16, 16, 2, 2)).astype(np.float32)  # (in, out, kh, kw)
+        b = rng.normal(size=(16,)).astype(np.float32)
+
+        tconv = torch.nn.ConvTranspose2d(16, 16, 2, stride=2)
+        with torch.no_grad():
+            tconv.weight.copy_(torch.from_numpy(w))
+            tconv.bias.copy_(torch.from_numpy(b))
+            ty = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+        kernel = np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])  # import transform
+        mod = nn.ConvTranspose(16, (2, 2), strides=(2, 2))
+        jy = mod.apply(
+            {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(jy), ty, atol=1e-4)
+
+    def test_box_head_flatten_matches_torch(self):
+        """detectron2 flattens NCHW before fc1; our BoxHead transposes to
+        match — verified against a torch Linear on the same weights."""
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(3, 7, 7, 8)).astype(np.float32)  # (R, 7, 7, C) NHWC
+        w = rng.normal(size=(5, 8 * 49)).astype(np.float32)   # torch (out, in)
+        b = rng.normal(size=(5,)).astype(np.float32)
+
+        t_in = torch.from_numpy(x.transpose(0, 3, 1, 2)).reshape(3, -1)
+        ty = (t_in @ torch.from_numpy(w).T + torch.from_numpy(b)).numpy()
+
+        j_in = jnp.asarray(x).transpose(0, 3, 1, 2).reshape(3, -1)  # BoxHead's flatten
+        jy = j_in @ jnp.asarray(w.T) + jnp.asarray(b)               # fc import transform
+        np.testing.assert_allclose(np.asarray(jy), ty, atol=1e-4)
+
+
+class TestPerLevelNMS:
+    def test_level_offset_prevents_cross_level_suppression(self):
+        """Two identical boxes on different FPN levels must BOTH survive
+        (detectron2 find_top_rpn_proposals runs NMS per level); the level
+        offset encoding makes the joint static NMS behave that way."""
+        boxes = jnp.array([[10.0, 10, 50, 50], [10, 10, 50, 50], [12, 12, 52, 52]])
+        scores = jnp.array([0.9, 0.8, 0.7])
+        lvls = jnp.array([0.0, 1.0, 0.0])  # box 0 and 2 same level, box 1 other
+        off = lvls[:, None] * (M.MAX_SIZE_TEST * 2.0)
+        keep, valid = M.nms_fixed(boxes + off, scores, 0.5, 3)
+        kept = set(np.asarray(keep)[np.asarray(valid)].tolist())
+        assert kept == {0, 1}, "same-level overlap suppressed, cross-level kept"
+
+
+class TestMaskRCNNProvider:
+    @pytest.fixture(scope="class")
+    def provider(self):
+        from mdn_sfm_tpu.config import Config, Mode
+
+        cfg = Config(height=64, width=96, batch_size=2, mode=Mode.DS,
+                     mask_provider="maskrcnn", d2_max_instances=4,
+                     d2_infer_scale=2, compute_dtype="float32").validate()
+        return M.MaskRCNNProvider(cfg), cfg
+
+    def test_batched_union_masks(self, provider):
+        prov, cfg = provider
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, size=(2, cfg.height, cfg.width, 3), dtype=np.uint8)
+        out = np.asarray(prov.union_masks_from_images(imgs, cfg.height, cfg.width))
+        assert out.shape == (2, cfg.height, cfg.width)
+        assert out.dtype == np.float32
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    def test_keyed_lookup_raises(self, provider):
+        prov, cfg = provider
+        with pytest.raises(RuntimeError, match="union_masks_from_images"):
+            prov.union_masks(["a", "b"], cfg.height, cfg.width)
