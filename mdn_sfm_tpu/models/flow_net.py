@@ -21,6 +21,16 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused import FusedUpConvBlock
+from ..ops.packed import (
+    PackedConvBlock,
+    PackedFusedUpConvBlock,
+    PackedHead,
+    pack_w,
+    packed_concat,
+    repack,
+    stage_pack_factor,
+    unpack_w,
+)
 from .layers import Conv3x3, ConvBlock
 from .resnet import ResNetEncoder
 
@@ -41,6 +51,7 @@ class FlowDecoder(nn.Module):
     scales: tuple[int, ...] = (0, 1, 2, 3)
     use_elu: bool = True
     scale_trainable: bool = False
+    packed: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -58,21 +69,43 @@ class FlowDecoder(nn.Module):
 
         x = input_features[-1]
         dec_features.append(x)
+        cur_p = 1  # current pack factor of x (ops/packed.py)
         for i in range(4, -1, -1):
             # fused upsample(×2)+reflect-pad+3×3conv+ELU — exact-equal to the
-            # reference's upsample→ConvBlock pattern, 2.25× fewer MACs
-            x = FusedUpConvBlock(
-                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
-            )(x)
-            if i > 0:
-                x = jnp.concatenate([x, input_features[i - 1].astype(x.dtype)], axis=-1)
-            x = ConvBlock(
-                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
-            )(x)
-            dec_features.append(x)
+            # reference's upsample→ConvBlock pattern, 2.25× fewer MACs; the
+            # small-channel stages additionally run lane-packed (ops/packed.py)
+            ch = NUM_CH_DEC[i]
+            w_out = x.shape[2] * cur_p * 2
+            p = stage_pack_factor(ch, w_out, self.packed)
+            if p > 1:
+                x = repack(x, cur_p, p // 2)
+                x = PackedFusedUpConvBlock(
+                    ch, p, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+                )(x)
+                if i > 0:
+                    skip = pack_w(input_features[i - 1].astype(x.dtype), p)
+                    x = packed_concat(x, skip, p)
+                x = PackedConvBlock(
+                    ch, p, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+                )(x)
+            else:
+                x = unpack_w(x, cur_p)
+                x = FusedUpConvBlock(
+                    ch, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+                )(x)
+                if i > 0:
+                    x = jnp.concatenate([x, input_features[i - 1].astype(x.dtype)], axis=-1)
+                x = ConvBlock(
+                    ch, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+                )(x)
+            cur_p = p
+            dec_features.append(unpack_w(x, p))
 
             if i in self.scales:
-                flow = Conv3x3(2, dtype=self.dtype, name=f"pred_flow_{i}")(x)
+                if p > 1:
+                    flow = unpack_w(PackedHead(2, p, dtype=self.dtype, name=f"pred_flow_{i}")(x), p)
+                else:
+                    flow = Conv3x3(2, dtype=self.dtype, name=f"pred_flow_{i}")(x)
                 outputs[i] = flow_scale * flow.astype(jnp.float32)
 
         # [d0, d1, d2, d3, d4, enc4] — 16,32,64,128,256,512 ch
@@ -90,6 +123,7 @@ class FlowNet(nn.Module):
     scale_trainable: bool = False
     n_ch: int = 0
     scales: tuple[int, ...] = (0, 1, 2, 3)
+    packed: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -121,6 +155,7 @@ class FlowNet(nn.Module):
             scales=self.scales,
             use_elu=self.use_elu,
             scale_trainable=self.scale_trainable,
+            packed=self.packed,
             dtype=self.dtype,
             name="decoder",
         )

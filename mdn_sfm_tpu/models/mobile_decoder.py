@@ -19,6 +19,16 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused import FusedUpConvBlock
+from ..ops.packed import (
+    PackedConvBlock,
+    PackedFusedUpConvBlock,
+    PackedHead,
+    pack_w,
+    packed_concat,
+    repack,
+    stage_pack_factor,
+    unpack_w,
+)
 from .layers import Conv3x3, ConvBlock
 
 Array = jax.Array
@@ -36,6 +46,7 @@ class MobileDecoder(nn.Module):
     num_ch_enc: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     scales: tuple[int, ...] = (0, 1, 2, 3)
     use_elu: bool = True
+    packed: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -53,18 +64,38 @@ class MobileDecoder(nn.Module):
         )
 
         outputs: dict[int, Array] = {}
+        cur_p = 1  # current pack factor of x (ops/packed.py)
         for i in range(4, -1, -1):
-            # fused upsample+conv (see ops/fused.py) — exact-equal, cheaper
-            x = FusedUpConvBlock(
-                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
-            )(x)
-            x = jnp.concatenate([x, input_features[i].astype(x.dtype)], axis=-1)
-            x = ConvBlock(
-                NUM_CH_DEC[i], use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
-            )(x)
+            # fused upsample+conv (ops/fused.py) — exact-equal, cheaper; the
+            # small-channel stages additionally run lane-packed (ops/packed.py)
+            ch = NUM_CH_DEC[i]
+            w_out = x.shape[2] * cur_p * 2
+            p = stage_pack_factor(ch, w_out, self.packed)
+            if p > 1:
+                x = repack(x, cur_p, p // 2)
+                x = PackedFusedUpConvBlock(
+                    ch, p, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+                )(x)
+                x = packed_concat(x, pack_w(input_features[i].astype(x.dtype), p), p)
+                x = PackedConvBlock(
+                    ch, p, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+                )(x)
+            else:
+                x = unpack_w(x, cur_p)
+                x = FusedUpConvBlock(
+                    ch, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_0"
+                )(x)
+                x = jnp.concatenate([x, input_features[i].astype(x.dtype)], axis=-1)
+                x = ConvBlock(
+                    ch, use_elu=self.use_elu, dtype=self.dtype, name=f"upconv_{i}_1"
+                )(x)
+            cur_p = p
 
             if i in self.scales:
-                out = Conv3x3(1, dtype=self.dtype, name=f"pred_mobile_{i}")(x)
+                if p > 1:
+                    out = unpack_w(PackedHead(1, p, dtype=self.dtype, name=f"pred_mobile_{i}")(x), p)
+                else:
+                    out = Conv3x3(1, dtype=self.dtype, name=f"pred_mobile_{i}")(x)
                 outputs[i] = nn.sigmoid(out.astype(jnp.float32))
 
         return outputs
