@@ -356,39 +356,30 @@ def multilevel_roi_align(
 
 def paste_masks(masks28: Array, boxes: Array, out_h: int, out_w: int) -> Array:
     """Paste (R, 28, 28) mask logits into an (R, out_h, out_w) canvas by
-    inverse bilinear sampling (detectron2 paste_masks_in_image analog)."""
+    inverse bilinear sampling (detectron2 paste_masks_in_image analog).
 
-    ys = jnp.arange(out_h, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(out_w, dtype=jnp.float32) + 0.5
+    Computed as SEPARABLE bilinear interpolation — two small batched matmuls
+    (R,H,28)·(R,28,28)·(R,28,W) — instead of per-pixel gathers from the
+    28×28 source. Gathers with huge index sets from tiny arrays lower
+    terribly on TPU: this op alone was 162 ms of the 270 ms/img provider
+    cost before the rewrite (round-2 profile); the matmul form is <1 ms.
+    The 1-D weight w[y, a] = max(0, 1 − |my(y) − a|) reproduces the bilinear
+    taps exactly, including the zero-outside-the-box boundary behavior."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
 
-    def one(mask, box):
-        x1, y1, x2, y2 = box
-        bw = jnp.maximum(x2 - x1, 1e-6)
-        bh = jnp.maximum(y2 - y1, 1e-6)
-        # image pixel → mask coordinate
-        mx = (xs - x1) / bw * MASK_RES - 0.5
-        my = (ys - y1) / bh * MASK_RES - 0.5
-        x0 = jnp.floor(mx)
-        y0 = jnp.floor(my)
-        wx = (mx - x0)[None, :]
-        wy = (my - y0)[:, None]
+    a = jnp.arange(MASK_RES, dtype=jnp.float32)
 
-        def g2(yi, xi):
-            ymask = (yi >= 0) & (yi <= MASK_RES - 1)
-            xmask = (xi >= 0) & (xi <= MASK_RES - 1)
-            yc = jnp.clip(yi.astype(jnp.int32), 0, MASK_RES - 1)
-            xc = jnp.clip(xi.astype(jnp.int32), 0, MASK_RES - 1)
-            return mask[yc[:, None], xc[None, :]] * (ymask[:, None] & xmask[None, :])
+    def weights(coords: Array, lo: Array, size: Array) -> Array:
+        # (R, T, 28): bilinear weight of source cell a for target pixel t
+        m = (coords[None, :] - lo[:, None]) / size[:, None] * MASK_RES - 0.5
+        return jnp.clip(1.0 - jnp.abs(m[:, :, None] - a[None, None, :]), 0.0, 1.0)
 
-        v = (
-            g2(y0, x0) * (1 - wy) * (1 - wx)
-            + g2(y0, x0 + 1) * (1 - wy) * wx
-            + g2(y0 + 1, x0) * wy * (1 - wx)
-            + g2(y0 + 1, x0 + 1) * wy * wx
-        )
-        return v
-
-    return jax.vmap(one)(masks28, boxes)
+    wy = weights(jnp.arange(out_h, dtype=jnp.float32) + 0.5, y1, bh)  # (R, H, 28)
+    wx = weights(jnp.arange(out_w, dtype=jnp.float32) + 0.5, x1, bw)  # (R, W, 28)
+    tmp = jnp.einsum("rha,rab->rhb", wy, masks28.astype(jnp.float32))
+    return jnp.einsum("rhb,rwb->rhw", tmp, wx)
 
 
 # -------------------------------------------------------------- full model
