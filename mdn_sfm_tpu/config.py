@@ -149,6 +149,10 @@ class Config:
     d2_infer_scale: int = 2         # live-provider inference res = scale × training res
     # (deviation from the reference's shortest-edge-1024 resize — see
     #  masks/maskrcnn.py::MaskRCNNProvider)
+    d2_fuse_step: bool = True       # fuse live Mask R-CNN inference INTO the jitted
+    # train step (its variables ride the frozen tree) — one dispatch per step
+    # instead of provider-dispatch + step-dispatch, and K-step scan dispatch
+    # works in DS/DC mode. False = separate host-driven provider call per batch.
 
     # TPU-NATIVE knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"   # conv compute dtype; params and losses stay fp32
@@ -253,7 +257,7 @@ _TRAIN_FIELDS = [
     "num_workers", "models_to_load", "load_adam", "v_load", "idx_load",
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
-    "d2_infer_scale",
+    "d2_infer_scale", "d2_fuse_step",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
     "steps_per_dispatch",
 ]

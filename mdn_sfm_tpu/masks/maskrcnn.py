@@ -614,8 +614,11 @@ class MaskRCNNProvider:
         out_h, out_w = cfg.height, cfg.width
         mean_bgr = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
 
-        @jax.jit
-        def run(variables, images_u8):
+        def union_fn(variables, images_u8):
+            """(B, H0, W0, 3) uint8 → (B, out_h, out_w) f32 union masks.
+            Pure (traceable) — this is what the fused train step inlines
+            (training.py, cfg.d2_fuse_step); ``_run`` is its jitted twin for
+            the standalone host-driven path."""
             x = resize_bilinear(images_u8.astype(jnp.float32), ih, iw)
             x = x[..., ::-1] - mean_bgr  # RGB→BGR caffe normalization
 
@@ -630,12 +633,19 @@ class MaskRCNNProvider:
 
             return jax.vmap(one)(x)
 
-        self._run = run
+        self.union_fn = union_fn
+        self._run = jax.jit(union_fn)
 
-    def union_masks_from_images(self, images_rgb: np.ndarray, height: int, width: int) -> np.ndarray:
+    def union_masks_from_images(
+        self, images_rgb: np.ndarray, height: int, width: int, variables: dict | None = None
+    ) -> np.ndarray:
         """(B, H0, W0, 3) uint8 RGB → (B, height, width) float union masks —
-        one jitted device dispatch for the whole batch."""
-        return self._run(self.variables, jnp.asarray(images_rgb))
+        one jitted device dispatch for the whole batch. ``variables``
+        overrides the provider's own tree (the trainer passes its frozen
+        copy when the provider is fused into the step, since donation may
+        have invalidated ``self.variables``)."""
+        return self._run(self.variables if variables is None else variables,
+                         jnp.asarray(images_rgb))
 
     def union_masks(self, keys, height, width):  # MaskProvider protocol
         raise RuntimeError(

@@ -27,8 +27,14 @@ from .layers import kaiming_out
 
 Array = jax.Array
 
-_STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
-_BOTTLENECK = {18: False, 34: False, 50: True}
+_STAGES = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+_BOTTLENECK = {18: False, 34: False, 50: True, 101: True, 152: True}
 
 
 def _bn(name: str, dtype: Any, train: bool):
@@ -111,7 +117,7 @@ class ResNetEncoder(nn.Module):
     (reference: networks/resnet_encoder.py:89-100).
 
     Args:
-        num_layers: 18, 34 or 50.
+        num_layers: 18, 34, 50, 101 or 152 (reference resnet_encoder.py:70-77).
         num_input_images: frames stacked channel-wise (2 for flow/pose nets,
             reference: flow_net_v1.py:92-95).
         n_ch: extra input channels (reference: resnet_encoder.py:26-27).

@@ -139,9 +139,23 @@ class Trainer:
             else:
                 print("Cannot find Adam weights so Adam is randomly initialized")
 
-        self.step_fn = T.make_train_step(cfg, self.models, self.tx)
+        # fuse a live Mask R-CNN provider into the step: its variables ride
+        # the frozen tree, inference happens inside the same XLA program
+        # (training.py::_batch_instance_mask) — one dispatch/step in DS/DC
+        # mode and the K-step scan stays a single dispatch
+        self._fused_masks = (
+            cfg.d2_fuse_step
+            and self.mask_provider is not None
+            and hasattr(self.mask_provider, "union_fn")
+        )
+        mask_fn = self.mask_provider.union_fn if self._fused_masks else None
+        if self._fused_masks:
+            self.frozen = dict(self.frozen)
+            self.frozen["maskrcnn"] = self.mask_provider.variables
+
+        self.step_fn = T.make_train_step(cfg, self.models, self.tx, mask_fn=mask_fn)
         self.kstep_fn = (
-            T.make_multi_train_step(cfg, self.models, self.tx)
+            T.make_multi_train_step(cfg, self.models, self.tx, mask_fn=mask_fn)
             if cfg.steps_per_dispatch > 1
             else None
         )
@@ -170,7 +184,10 @@ class Trainer:
         """(reference: trainer.py:108-131)"""
         folder = ckpt.weights_folder(self.cfg.log_dir, self.cfg.v_save, idx_save)
         state = jax.device_get(self.state)
-        variables = dict(jax.device_get(self.frozen))
+        # the fused provider's maskrcnn tree is frozen detectron2 weights —
+        # not part of the reference checkpoint layout, never saved
+        nets = {k: v for k, v in self.frozen.items() if k != "maskrcnn"}
+        variables = dict(jax.device_get(nets))
         # re-attach trainable params into full variable trees
         variables["mobile_decoder"] = {"params": state.params["mobile_decoder"]}
         if self.cfg.fine_tune_flow_motion:
@@ -185,11 +202,13 @@ class Trainer:
     def _device_batch(self, arrays: tuple, keys: list[str]) -> dict:
         colors, K = arrays
         batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
-        if self.mask_provider is not None:
+        if self.mask_provider is not None and not self._fused_masks:
             if hasattr(self.mask_provider, "union_masks_from_images"):
-                # live Mask R-CNN on the (upscaled) target frame — the
-                # reference feeds detectron2 an instance_img upsampled from
-                # the already-resized color tensor (mono_dataset.py:111)
+                # non-fused fallback: live Mask R-CNN on the RAW target frame.
+                # Deviation: the reference's instance_img is built from the
+                # AUGMENTED color tensor (mono_dataset.py:111) — only the
+                # fused path (d2_fuse_step, the default) reproduces that,
+                # because augmentation happens inside the jitted step.
                 masks = self.mask_provider.union_masks_from_images(
                     colors[:, 0], self.cfg.height, self.cfg.width
                 )
@@ -333,7 +352,9 @@ class Trainer:
 
     def _current_variables(self) -> dict:
         """Reassemble full variable trees from (frozen, trainable) for eval."""
-        variables = {k: dict(v) for k, v in jax.tree.map(lambda x: x, self.frozen).items()}
+        variables = {
+            k: dict(v) for k, v in self.frozen.items() if k != "maskrcnn"
+        }
         variables["mobile_decoder"] = {"params": self.state.params["mobile_decoder"]}
         if self.cfg.fine_tune_flow_motion:
             variables["flownet"]["params"] = self.state.params["flownet"]
@@ -395,8 +416,13 @@ class Trainer:
             self.mask_provider, "union_masks_from_images"
         ):
             tgt_u8 = np.clip((np.asarray(tgt) * 0.225 + 0.45) * 255.0, 0, 255).astype(np.uint8)
+            # when fused, the provider's own variable copy may have been
+            # donated away — use the live frozen tree
             union = np.asarray(
-                self.mask_provider.union_masks_from_images(tgt_u8, cfg.height, cfg.width)
+                self.mask_provider.union_masks_from_images(
+                    tgt_u8, cfg.height, cfg.width,
+                    variables=self.frozen.get("maskrcnn"),
+                )
             )
             w.add_image("0/instance_union", union[0][None], self.step)
 

@@ -245,13 +245,42 @@ def loss_from_batch(
 # --------------------------------------------------------------- train step
 
 
-def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransformation):
+def _batch_instance_mask(batch: dict, frozen: dict, mask_fn, raw0: Array) -> Optional[Array]:
+    """Instance-union masks for the DS/DC loss terms: precomputed in the
+    batch, or — when a live provider is FUSED into the step (cfg.d2_fuse_step)
+    — inferred here with the Mask R-CNN variables riding
+    ``frozen['maskrcnn']``. Fusing replaces the reference's separate
+    per-batch detectron2 call (trainer.py:278-279) with inference inside the
+    same XLA program as the train step: no extra dispatch, and the K-step
+    scan path stays a single dispatch in DS/DC mode.
+
+    ``raw0`` is the AUGMENTED unnormalized [0,1] target frame — reference
+    parity: detectron2 sees instance_img = 255 × the post-transform color
+    tensor (mono_dataset.py:111), so the masks track the flip/zoom-crop.
+    (The non-fused host-driven provider path sees the raw frame instead — a
+    documented deviation it cannot avoid, since augmentation happens inside
+    the jitted step.)"""
+    instance_mask = batch.get("instance_mask")
+    if instance_mask is None and mask_fn is not None:
+        instance_mask = jax.lax.stop_gradient(
+            mask_fn(frozen["maskrcnn"], raw0 * 255.0)
+        )
+    return instance_mask
+
+
+def make_train_step(
+    cfg: Config, models: ModelBundle, tx: optax.GradientTransformation, mask_fn=None
+):
     """Build the jitted train step.
 
     batch: {'colors_u8': (B, F, H, W, 3) uint8, 'K': (B, 4, 4) float32,
             optional 'instance_mask': (B, Hm, Wm) float32}
     Shard the batch's leading axis over Mesh('data') and replicate
     state/frozen; XLA SPMD emits the grad all-reduce.
+
+    ``mask_fn(variables, images_u8) -> (B, H, W)`` fuses a live instance-mask
+    provider into the step (see :func:`_batch_instance_mask`); its variables
+    must be present as ``frozen['maskrcnn']``.
 
     Returns (state, frozen, metrics, aux) — ``frozen`` carries updated BN
     running stats when ``bn_frozen_eval=False`` (else passes through
@@ -262,8 +291,8 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
         state: TrainState, frozen: dict, batch: dict, rng: Array
     ) -> tuple[TrainState, dict, dict, LossAux]:
         rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, _ = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
-        instance_mask = batch.get("instance_mask")
+        colors, inv_Ks, raw0 = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
+        instance_mask = _batch_instance_mask(batch, frozen, mask_fn, raw0)
 
         def loss_fn(params):
             return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
@@ -284,7 +313,11 @@ def make_train_step(cfg: Config, models: ModelBundle, tx: optax.GradientTransfor
 
 
 def make_multi_train_step(
-    cfg: Config, models: ModelBundle, tx: optax.GradientTransformation, unroll: int = 1
+    cfg: Config,
+    models: ModelBundle,
+    tx: optax.GradientTransformation,
+    unroll: int = 1,
+    mask_fn=None,
 ):
     """Build a jitted K-step train function: one device dispatch executes K
     sequential optimizer steps via ``lax.scan``.
@@ -305,10 +338,10 @@ def make_multi_train_step(
     def one_step(carry, batch_k):
         state, frozen, rng, _last_aux = carry
         step_rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, _ = augment_batch(
+        colors, inv_Ks, raw0 = augment_batch(
             cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
         )
-        instance_mask = batch_k.get("instance_mask")
+        instance_mask = _batch_instance_mask(batch_k, frozen, mask_fn, raw0)
 
         def loss_fn(params):
             return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
@@ -324,11 +357,12 @@ def make_multi_train_step(
         """Trace-only twin of one_step's loss pass, used to shape the aux
         carry slot via jax.eval_shape (no compilation, no FLOPs)."""
         step_rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, _ = augment_batch(
+        colors, inv_Ks, raw0 = augment_batch(
             cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
         )
         _, (_, aux, _) = loss_from_batch(
-            cfg, models, state.params, frozen, colors, inv_Ks, batch_k.get("instance_mask")
+            cfg, models, state.params, frozen, colors, inv_Ks,
+            _batch_instance_mask(batch_k, frozen, mask_fn, raw0),
         )
         return aux
 

@@ -403,3 +403,53 @@ class TestMaskRCNNProvider:
         prov, cfg = provider
         with pytest.raises(RuntimeError, match="union_masks_from_images"):
             prov.union_masks(["a", "b"], cfg.height, cfg.width)
+
+
+class TestFusedProviderStep:
+    """cfg.d2_fuse_step: the live provider fused INTO the jitted train step
+    (training.py::_batch_instance_mask) must reproduce a host-driven provider
+    fed the same augmented target frame exactly."""
+
+    @pytest.fixture(scope="class")
+    def provider(self):
+        from mdn_sfm_tpu.config import Config, Mode
+
+        cfg = Config(height=64, width=96, batch_size=2, mode=Mode.DS,
+                     mask_provider="maskrcnn", d2_max_instances=4,
+                     d2_infer_scale=2, compute_dtype="float32").validate()
+        return M.MaskRCNNProvider(cfg), cfg
+
+    def test_fused_step_matches_host_masks(self, provider):
+        import dataclasses
+
+        from mdn_sfm_tpu import training as T
+        from mdn_sfm_tpu.data.augment import augment_batch
+        from mdn_sfm_tpu.data.synthetic import synthetic_batch
+
+        prov, cfg0 = provider
+        cfg = dataclasses.replace(cfg0, donate_state=False)
+        models = T.build_models(cfg)
+        variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        colors, K = synthetic_batch(cfg.batch_size, cfg.height, cfg.width, seed=3)
+        batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+        rng = jax.random.PRNGKey(1)
+
+        frozen_f = dict(frozen)
+        frozen_f["maskrcnn"] = prov.variables
+        fused = T.make_train_step(cfg, models, tx, mask_fn=prov.union_fn)
+        _, _, m_fused, _ = fused(state, frozen_f, batch, rng)
+
+        # host path: recompute the step's augmented target with the same rng
+        # stream, run the provider standalone, feed the masks precomputed
+        step_rng = jax.random.fold_in(rng, state.step)
+        _, _, raw0 = augment_batch(cfg, batch["colors_u8"], batch["K"], step_rng, train=True)
+        masks = prov.union_masks_from_images(raw0 * 255.0, cfg.height, cfg.width)
+        plain = T.make_train_step(cfg, models, tx)
+        _, _, m_host, _ = plain(
+            state, frozen, {**batch, "instance_mask": jnp.asarray(masks)}, rng
+        )
+        assert float(m_fused["loss"]) == pytest.approx(
+            float(m_host["loss"]), rel=1e-6, abs=1e-7
+        )

@@ -42,6 +42,22 @@ class TestResNetEncoder:
             stride = 2 ** (lvl + 1)
             assert f.shape == (2, H // stride, W // stride, c), lvl
 
+    @pytest.mark.parametrize("depth,chs", [(50, (64, 256, 512, 1024, 2048)),
+                                           (101, (64, 256, 512, 1024, 2048))])
+    def test_bottleneck_depths(self, depth, chs):
+        """Reference supports 18/34/50/101/152 (resnet_encoder.py:70-77);
+        101/152 are pure stage-count variants of the bottleneck trunk."""
+        enc = ResNetEncoder(num_layers=depth, num_input_images=2, dtype=jnp.float32)
+        assert enc.num_ch_enc == chs
+        x = jnp.zeros((1, 32, 32, 6), jnp.float32)
+        feats = jax.eval_shape(
+            lambda v: enc.apply(v, x),
+            enc.init(jax.random.PRNGKey(0), x),
+        )
+        for lvl, (f, c) in enumerate(zip(feats, chs)):
+            stride = 2 ** (lvl + 1)
+            assert f.shape == (1, 32 // stride, 32 // stride, c), lvl
+
     def test_has_batch_stats(self, imgs):
         a, b = imgs
         enc = ResNetEncoder(num_layers=18, dtype=jnp.float32)

@@ -113,3 +113,30 @@ class TestTools:
         assert set(results) == {0.1, 0.9}
         for v in results.values():
             assert np.isfinite(v)
+
+
+class TestFusedMaskProvider:
+    def test_trainer_wiring_and_checkpoint_exclusion(self, tmp_path):
+        """d2_fuse_step wiring: maskrcnn variables ride the frozen tree, the
+        host batch carries no instance_mask, one fused DS step runs, and the
+        frozen detectron2 weights never enter the checkpoint layout."""
+        cfg = make_cfg(
+            str(tmp_path), mode=Mode.DS, mask_provider="maskrcnn",
+            d2_max_instances=4,
+        )
+        trainer = Trainer(cfg, synthetic=True)
+        assert trainer._fused_masks
+        assert "maskrcnn" in trainer.frozen
+
+        arrays, idxs = next(iter(trainer.train_loader))
+        batch = trainer._device_batch(arrays, [trainer.sample_keys[int(i)] for i in idxs])
+        assert "instance_mask" not in batch
+        trainer.state, trainer.frozen, metrics, _ = trainer.step_fn(
+            trainer.state, trainer.frozen, batch, trainer.rng
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
+        trainer.save_model(0)
+        w0 = os.path.join(cfg.log_dir, "vtest", "models", "weights_0")
+        assert os.path.exists(os.path.join(w0, "mobile_decoder.msgpack"))
+        assert not os.path.exists(os.path.join(w0, "maskrcnn.msgpack"))
