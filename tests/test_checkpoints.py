@@ -100,3 +100,35 @@ class TestPthInterop:
             k = loaded["flownet"]["params"]["encoder"]["conv1"]["kernel"]
             expect = variables["flownet"]["params"]["encoder"]["conv1"]["kernel"]
             np.testing.assert_allclose(np.asarray(k), np.asarray(expect), atol=1e-6)
+
+
+class TestExportedArtifact:
+    def test_stablehlo_export_roundtrip(self):
+        """tools/export_model.py: the serialized StableHLO artifact must be
+        loadable without model code and reproduce the live forward."""
+        import sys
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax import export as jexport
+
+        from mdn_sfm_tpu import training as T
+        from mdn_sfm_tpu.config import Config
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from export_model import build_forward, export_model
+
+        cfg = Config(height=32, width=64, batch_size=1, compute_dtype="float32").validate()
+        models = T.build_models(cfg)
+        variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+        blob = export_model(cfg, variables, 1, ["cpu"])
+
+        rng = np.random.default_rng(0)
+        tgt = jnp.asarray(rng.normal(size=(1, 32, 64, 3)), jnp.float32)
+        ref = jnp.asarray(rng.normal(size=(1, 32, 64, 3)), jnp.float32)
+        live = build_forward(cfg, variables)(tgt, ref)
+        loaded = jexport.deserialize(blob).call(tgt, ref)
+        assert len(loaded) == 4
+        for a, b in zip(loaded, live):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
