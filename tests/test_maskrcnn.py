@@ -453,3 +453,35 @@ class TestFusedProviderStep:
         assert float(m_fused["loss"]) == pytest.approx(
             float(m_host["loss"]), rel=1e-6, abs=1e-7
         )
+
+    def test_fused_step_data_parallel(self, provider):
+        """The fused provider must shard over Mesh('data') like the rest of
+        the step: per-device batch slices run the Mask R-CNN vmap locally,
+        grads all-reduce via SPMD — same loss as single-device."""
+        import dataclasses
+
+        from mdn_sfm_tpu import training as T
+        from mdn_sfm_tpu.data.synthetic import synthetic_batch
+        from mdn_sfm_tpu.parallel import make_mesh, replicate, shard_batch
+
+        prov, cfg0 = provider
+        cfg = dataclasses.replace(cfg0, donate_state=False, batch_size=8)
+        models = T.build_models(cfg)
+        variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        frozen = dict(frozen)
+        frozen["maskrcnn"] = prov.variables
+        step = T.make_train_step(cfg, models, tx, mask_fn=prov.union_fn)
+
+        colors, K = synthetic_batch(cfg.batch_size, cfg.height, cfg.width, seed=5)
+        batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+        rng = jax.random.PRNGKey(2)
+
+        _, _, m_single, _ = step(state, frozen, batch, rng)
+
+        mesh = make_mesh(8)
+        _, _, m_shard, _ = step(
+            replicate(mesh, state), replicate(mesh, frozen), shard_batch(mesh, batch), rng
+        )
+        assert float(m_shard["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
