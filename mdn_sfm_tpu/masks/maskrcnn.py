@@ -238,6 +238,40 @@ def nms_fixed(boxes: Array, scores: Array, iou_thresh: float, max_out: int) -> t
     return keep, valid
 
 
+def _roi_sample_box(box, h, w, out_size: int, sampling: int, c: int, gather):
+    """Shared ROIAlign-v2 sampling body (sub-bin sample grid, 4-tap bilinear
+    blend, sub-bin mean). ``box`` is XYXY in FEATURE coords (aligned=True);
+    ``gather(yc, xc) -> (n, n, C)`` fetches clipped integer taps — the only
+    thing that differs between the single-level and flattened-multilevel
+    paths."""
+    x1, y1, x2, y2 = box
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    n = out_size * sampling
+    # sample centers of n×n sub-bins
+    xs = x1 + (jnp.arange(n) + 0.5) * bw / n - 0.5
+    ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = (xs - x0)[None, :, None]
+    wy = (ys - y0)[:, None, None]
+
+    def cl(yi, xi):
+        return (
+            jnp.clip(yi.astype(jnp.int32), 0, h - 1),
+            jnp.clip(xi.astype(jnp.int32), 0, w - 1),
+        )
+
+    v = (
+        gather(*cl(y0, x0)) * (1 - wy) * (1 - wx)
+        + gather(*cl(y0, x0 + 1)) * (1 - wy) * wx
+        + gather(*cl(y0 + 1, x0)) * wy * (1 - wx)
+        + gather(*cl(y0 + 1, x0 + 1)) * wy * wx
+    )
+    # average the sampling×sampling sub-bins
+    return v.reshape(out_size, sampling, out_size, sampling, c).mean((1, 3))
+
+
 def roi_align(feat: Array, boxes: Array, out_size: int, stride: float, sampling: int = 2) -> Array:
     """ROIAlign-v2 (aligned, continuous coordinates) on one FPN level.
 
@@ -255,33 +289,10 @@ def roi_align(feat: Array, boxes: Array, out_size: int, stride: float, sampling:
     boxes = boxes / stride  # to feature coords, aligned=True (pixel centers)
 
     def one_box(box):
-        x1, y1, x2, y2 = box
-        bw = jnp.maximum(x2 - x1, 1e-6)
-        bh = jnp.maximum(y2 - y1, 1e-6)
-        n = out_size * sampling
-        # sample centers of n×n sub-bins
-        xs = x1 + (jnp.arange(n) + 0.5) * bw / n - 0.5
-        ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
-
-        x0 = jnp.floor(xs)
-        y0 = jnp.floor(ys)
-        wx = (xs - x0)[None, :, None]
-        wy = (ys - y0)[:, None, None]
-
-        def gather(yi, xi):
-            yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-            xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-            return feat[yc[:, None], xc[None, :]]  # (n, n, C)
-
-        v = (
-            gather(y0, x0) * (1 - wy) * (1 - wx)
-            + gather(y0, x0 + 1) * (1 - wy) * wx
-            + gather(y0 + 1, x0) * wy * (1 - wx)
-            + gather(y0 + 1, x0 + 1) * wy * wx
+        return _roi_sample_box(
+            box, h, w, out_size, sampling, c,
+            lambda yc, xc: feat[yc[:, None], xc[None, :]],  # (n, n, C)
         )
-        # average the sampling×sampling sub-bins
-        v = v.reshape(out_size, sampling, out_size, sampling, c).mean((1, 3))
-        return v
 
     return jax.vmap(one_box)(boxes)
 
@@ -324,32 +335,12 @@ def multilevel_roi_align(
     w_l = level_w[lvl]
     off_l = level_off[lvl]
 
-    n = out_size * sampling
-
     def one_box(box, stride, h, w, off):
-        x1, y1, x2, y2 = box / stride   # feature coords, aligned=True
-        bw = jnp.maximum(x2 - x1, 1e-6)
-        bh = jnp.maximum(y2 - y1, 1e-6)
-        xs = x1 + (jnp.arange(n) + 0.5) * bw / n - 0.5
-        ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
-        x0 = jnp.floor(xs)
-        y0 = jnp.floor(ys)
-        wx = (xs - x0)[None, :, None]
-        wy = (ys - y0)[:, None, None]
-
-        def gather(yi, xi):
-            yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-            xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        def gather(yc, xc):
             rows = off + yc[:, None] * w + xc[None, :]            # (n, n)
             return flat[rows]                                      # (n, n, C)
 
-        v = (
-            gather(y0, x0) * (1 - wy) * (1 - wx)
-            + gather(y0, x0 + 1) * (1 - wy) * wx
-            + gather(y0 + 1, x0) * wy * (1 - wx)
-            + gather(y0 + 1, x0 + 1) * wy * wx
-        )
-        return v.reshape(out_size, sampling, out_size, sampling, c).mean((1, 3))
+        return _roi_sample_box(box / stride, h, w, out_size, sampling, c, gather)
 
     return jax.vmap(one_box)(boxes, stride, h_l, w_l, off_l)
 
@@ -378,8 +369,12 @@ def paste_masks(masks28: Array, boxes: Array, out_h: int, out_w: int) -> Array:
 
     wy = weights(jnp.arange(out_h, dtype=jnp.float32) + 0.5, y1, bh)  # (R, H, 28)
     wx = weights(jnp.arange(out_w, dtype=jnp.float32) + 0.5, x1, bw)  # (R, W, 28)
-    tmp = jnp.einsum("rha,rab->rhb", wy, masks28.astype(jnp.float32))
-    return jnp.einsum("rhb,rwb->rhw", tmp, wx)
+    # HIGHEST precision: default MXU matmul rounds f32 through bf16, which
+    # can flip pasted probabilities across the 0.5 binarization threshold
+    # vs the elementwise reference taps (CLAUDE.md small-geometry rule)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("rha,rab->rhb", wy, masks28.astype(jnp.float32), precision=hi)
+    return jnp.einsum("rhb,rwb->rhw", tmp, wx, precision=hi)
 
 
 # -------------------------------------------------------------- full model
@@ -404,6 +399,7 @@ class MaskRCNN(nn.Module):
     pre_nms_topk: int = RPN_PRE_NMS_TOPK
     post_nms_topk: int = RPN_POST_NMS_TOPK
     box_candidates: int = 1024
+    score_thresh: float = ROI_SCORE_THRESH  # cfg.d2_score_thresh (trainer.py:175)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -462,7 +458,7 @@ class MaskRCNN(nn.Module):
             jnp.arange(NUM_CLASSES, dtype=jnp.int32)[None], (r, NUM_CLASSES)
         ).reshape(-1)
 
-        flat_scores = jnp.where(flat_scores >= ROI_SCORE_THRESH, flat_scores, 0.0)
+        flat_scores = jnp.where(flat_scores >= self.score_thresh, flat_scores, 0.0)
         # prune to a workable candidate set, then class-offset NMS
         cand = min(self.box_candidates, flat_scores.shape[0])
         cs, ci = jax.lax.top_k(flat_scores, cand)
@@ -515,6 +511,45 @@ def static_input_shape() -> tuple[int, int]:
     return 640, 2048
 
 
+# fast proposal budget (256/256/512 instead of detectron2's test-time
+# 1000/1000) — minor quality change, much cheaper static NMS; shared by the
+# GT-tooling backend (fast=True) and the training-time provider
+FAST_BUDGET = dict(pre_nms_topk=256, post_nms_topk=256, box_candidates=512)
+
+
+def build_model_and_weights(
+    max_det: int,
+    init_h: int,
+    init_w: int,
+    weights_path: str | None = None,
+    fast: bool = False,
+    score_thresh: float = ROI_SCORE_THRESH,
+) -> tuple[MaskRCNN, dict]:
+    """Shared construction + weights-or-random-init fallback for every
+    Mask R-CNN consumer (backend / provider), so the proposal budget and
+    import strictness can't silently diverge between GT tooling and
+    training-time masks."""
+    model = MaskRCNN(max_det=max_det, score_thresh=score_thresh,
+                     **(FAST_BUDGET if fast else {}))
+    if weights_path:
+        variables = import_detectron2_pth(weights_path, model)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((init_h, init_w, 3)),
+            jnp.array(float(init_h)),
+            jnp.array(float(init_w)),
+        )
+    return model, variables
+
+
+def paste_threshold_union_ready(det: Detections, boxes: Array, out_h: int, out_w: int):
+    """Paste detections to (max_det, out_h, out_w) and binarize at 0.5,
+    invalid slots zeroed — the shared tail of both inference pipelines."""
+    pasted = paste_masks(det.masks28, boxes, out_h, out_w)
+    return (pasted >= 0.5) & det.valid[:, None, None]
+
+
 class MaskRCNNBackend:
     """Host-facing single-image inference (GT tooling / eval).
 
@@ -523,33 +558,20 @@ class MaskRCNNBackend:
     uint8 masks and the detection table cross the host boundary."""
 
     def __init__(self, weights_path: str | None = None, max_det: int = 32,
-                 fast: bool = False):
-        """fast=True shrinks the proposal top-k budget (256/256 instead of
-        detectron2's test-time 1000/1000) — ~minor quality change, much
-        cheaper static NMS; used by the training-time mask provider."""
-        if fast:
-            self.model = MaskRCNN(max_det=max_det, pre_nms_topk=256,
-                                  post_nms_topk=256, box_candidates=512)
-        else:
-            self.model = MaskRCNN(max_det=max_det)
+                 fast: bool = False, score_thresh: float = ROI_SCORE_THRESH):
+        """fast=True shrinks the proposal top-k budget (FAST_BUDGET) —
+        ~minor quality change, much cheaper static NMS."""
         sh, sw = static_input_shape()
-        if weights_path:
-            self.variables = import_detectron2_pth(weights_path, self.model)
-        else:
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((sh, sw, 3)),
-                jnp.array(float(sh)),
-                jnp.array(float(sw)),
-            )
+        self.model, self.variables = build_model_and_weights(
+            max_det, sh, sw, weights_path, fast, score_thresh
+        )
 
         @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
         def run(variables, padded, nh, nw, scale, out_h, out_w):
             det = self.model.apply(variables, padded, nh, nw)
             boxes = det.boxes / scale
-            pasted = paste_masks(det.masks28, boxes, out_h, out_w)
-            masks = (pasted >= 0.5).astype(jnp.uint8) * det.valid[:, None, None]
-            return masks, boxes, det.classes, det.scores, det.valid
+            masks = paste_threshold_union_ready(det, boxes, out_h, out_w)
+            return masks.astype(jnp.uint8), boxes, det.classes, det.scores, det.valid
 
         self._run = run
 
@@ -594,22 +616,12 @@ class MaskRCNNProvider:
         scale = int(getattr(cfg, "d2_infer_scale", 2))
         ih, iw = cfg.height * scale, cfg.width * scale
         assert ih % 64 == 0 and iw % 64 == 0, "d2 inference shape must be /64 for FPN"
-        self.model = MaskRCNN(
-            max_det=cfg.d2_max_instances,
-            pre_nms_topk=256,
-            post_nms_topk=256,
-            box_candidates=512,
-        )
         weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
-        if os.path.exists(weights):
-            self.variables = import_detectron2_pth(weights, self.model)
-        else:
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((ih, iw, 3)),
-                jnp.array(float(ih)),
-                jnp.array(float(iw)),
-            )
+        self.model, self.variables = build_model_and_weights(
+            cfg.d2_max_instances, ih, iw,
+            weights if os.path.exists(weights) else None,
+            fast=True, score_thresh=cfg.d2_score_thresh,
+        )
 
         out_h, out_w = cfg.height, cfg.width
         mean_bgr = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
@@ -627,8 +639,7 @@ class MaskRCNNProvider:
                     variables, img, jnp.float32(ih), jnp.float32(iw)
                 )
                 boxes = det.boxes / float(scale)  # back to training coords
-                pasted = paste_masks(det.masks28, boxes, out_h, out_w)
-                keep = (pasted >= 0.5) & det.valid[:, None, None]
+                keep = paste_threshold_union_ready(det, boxes, out_h, out_w)
                 return jnp.max(keep, axis=0).astype(jnp.float32)
 
             return jax.vmap(one)(x)

@@ -486,9 +486,13 @@ class Trainer:
             new_cfg = dataclasses.replace(self.cfg, **{name: v}).validate()
             tx = T.make_optimizer(new_cfg, self.steps_per_epoch)
             variables = T.init_variables(new_cfg, self.models, jax.random.PRNGKey(new_cfg.seed))
-            state, frozen = T.create_train_state(new_cfg, self.models, variables, tx)
-            frozen = self.frozen  # keep the loaded frozen nets
-            step_fn = T.make_train_step(new_cfg, self.models, tx)
+            state, _ = T.create_train_state(new_cfg, self.models, variables, tx)
+            # keep the loaded frozen nets — as a fresh per-turn COPY, because
+            # the step donates its frozen argument (donate_argnums) and must
+            # not invalidate self.frozen across grid turns
+            frozen = jax.tree.map(jnp.copy, self.frozen)
+            mask_fn = self.mask_provider.union_fn if self._fused_masks else None
+            step_fn = T.make_train_step(new_cfg, self.models, tx, mask_fn=mask_fn)
 
             last = None
             for bi, (arrays, idxs) in enumerate(self.train_loader):

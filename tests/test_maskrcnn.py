@@ -485,3 +485,17 @@ class TestFusedProviderStep:
             replicate(mesh, state), replicate(mesh, frozen), shard_batch(mesh, batch), rng
         )
         assert float(m_shard["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
+
+
+class TestScoreThreshWiring:
+    def test_d2_score_thresh_reaches_the_model(self):
+        """Regression: --d2_score_thresh was parsed but never read — the
+        model used the hardcoded ROI_SCORE_THRESH."""
+        from mdn_sfm_tpu.config import Config, Mode
+
+        cfg = Config(height=64, width=96, batch_size=1, mode=Mode.DS,
+                     mask_provider="maskrcnn", d2_max_instances=2,
+                     d2_score_thresh=0.7, compute_dtype="float32").validate()
+        prov = M.MaskRCNNProvider(cfg)
+        assert prov.model.score_thresh == 0.7
+        assert prov.model.pre_nms_topk == M.FAST_BUDGET["pre_nms_topk"]

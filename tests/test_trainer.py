@@ -140,3 +140,23 @@ class TestFusedMaskProvider:
         w0 = os.path.join(cfg.log_dir, "vtest", "models", "weights_0")
         assert os.path.exists(os.path.join(w0, "mobile_decoder.msgpack"))
         assert not os.path.exists(os.path.join(w0, "maskrcnn.msgpack"))
+
+
+class TestHyperGridDonation:
+    def test_hyperparameter_try_survives_donation_and_reuses_frozen(self, tmp_path):
+        """Regression: with donate_state=True the grid search donated
+        self.frozen's buffers on the first step and crashed on the next
+        grid turn ('Array has been deleted'); it now copies the frozen tree
+        per turn."""
+        cfg = make_cfg(str(tmp_path), donate_state=True)
+        trainer = Trainer(cfg, synthetic=True)
+        res = trainer.hyperparameter_try("w_s", [0.1, 0.2], batches_per_value=2)
+        assert set(res) == {0.1, 0.2}
+        assert all(np.isfinite(v) for v in res.values())
+        # self.frozen must still be alive and usable afterwards
+        arrays, idxs = next(iter(trainer.train_loader))
+        batch = trainer._device_batch(arrays, [])
+        trainer.state, trainer.frozen, metrics, _ = trainer.step_fn(
+            trainer.state, trainer.frozen, batch, trainer.rng
+        )
+        assert np.isfinite(float(metrics["loss"]))
