@@ -253,8 +253,6 @@ def _roi_sample_box(box, h, w, out_size: int, sampling: int, c: int, gather):
     ys = y1 + (jnp.arange(n) + 0.5) * bh / n - 0.5
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
-    wx = (xs - x0)[None, :, None]
-    wy = (ys - y0)[:, None, None]
 
     def cl(yi, xi):
         return (
@@ -262,8 +260,16 @@ def _roi_sample_box(box, h, w, out_size: int, sampling: int, c: int, gather):
             jnp.clip(xi.astype(jnp.int32), 0, w - 1),
         )
 
+    # blend in the FEATURE dtype: the gathers materialize huge (R·n², C)
+    # tensors (DS profile: 23 ms/step of the fused train step at f32) —
+    # bf16 features halve that traffic; callers pick precision by casting
+    # the features (f32 backend / bf16 fast provider)
+    g00 = gather(*cl(y0, x0))
+    dt = g00.dtype
+    wx = (xs - x0)[None, :, None].astype(dt)
+    wy = (ys - y0)[:, None, None].astype(dt)
     v = (
-        gather(*cl(y0, x0)) * (1 - wy) * (1 - wx)
+        g00 * (1 - wy) * (1 - wx)
         + gather(*cl(y0, x0 + 1)) * (1 - wy) * wx
         + gather(*cl(y0 + 1, x0)) * wy * (1 - wx)
         + gather(*cl(y0 + 1, x0 + 1)) * wy * wx
@@ -401,6 +407,9 @@ class MaskRCNN(nn.Module):
     box_candidates: int = 1024
     score_thresh: float = ROI_SCORE_THRESH  # cfg.d2_score_thresh (trainer.py:175)
     dtype: Any = jnp.bfloat16
+    roi_dtype: Any = jnp.float32  # ROIAlign gather/blend precision; the fast
+    # provider path uses bf16 (halves the dominant gather traffic — PARITY.md
+    # DS profile), the GT-tooling backend keeps detectron2-exact f32
 
     @nn.compact
     def __call__(self, image: Array, true_h: Array, true_w: Array) -> Detections:
@@ -436,9 +445,8 @@ class MaskRCNN(nn.Module):
         proposals = boxes[keep] * valid[:, None]  # invalid → degenerate at 0
 
         # ---- box head
-        pooled = multilevel_roi_align(
-            [p[0].astype(jnp.float32) for p in pyramid], proposals, 7
-        )
+        roi_feats = [p[0].astype(self.roi_dtype) for p in pyramid]
+        pooled = multilevel_roi_align(roi_feats, proposals, 7)
         cls_logits, box_deltas = BoxHead(dtype=self.dtype, name="box_head")(pooled)
         probs = jax.nn.softmax(cls_logits, axis=-1)[:, :NUM_CLASSES]  # drop bg
 
@@ -473,9 +481,7 @@ class MaskRCNN(nn.Module):
         final_cls = ccls[keep2]
 
         # ---- mask head
-        mpooled = multilevel_roi_align(
-            [p[0].astype(jnp.float32) for p in pyramid], final_boxes, 14
-        )
+        mpooled = multilevel_roi_align(roi_feats, final_boxes, 14)
         mlogits = MaskHead(dtype=self.dtype, name="mask_head")(mpooled)
         midx = jnp.arange(self.max_det)
         masks28 = jax.nn.sigmoid(mlogits[midx, :, :, final_cls])
@@ -514,7 +520,8 @@ def static_input_shape() -> tuple[int, int]:
 # fast proposal budget (256/256/512 instead of detectron2's test-time
 # 1000/1000) — minor quality change, much cheaper static NMS; shared by the
 # GT-tooling backend (fast=True) and the training-time provider
-FAST_BUDGET = dict(pre_nms_topk=256, post_nms_topk=256, box_candidates=512)
+FAST_BUDGET = dict(pre_nms_topk=256, post_nms_topk=256, box_candidates=512,
+                   roi_dtype=jnp.bfloat16)
 
 
 def build_model_and_weights(
