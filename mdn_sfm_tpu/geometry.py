@@ -301,18 +301,52 @@ def inverse_warp(ref_img: Array, flow: Array, padding_mode: str = "zeros") -> tu
 # -------------------------------------------------------------- resampling
 
 
+def _resize_matrix(src: int, dst: int) -> Array:
+    """(dst, src) interpolation weights of torch
+    ``F.interpolate(mode='bilinear', align_corners=False, antialias=False)``:
+    half-pixel source coords, 2-tap bilinear, edge-clamped."""
+    x = jnp.clip((jnp.arange(dst) + 0.5) * (src / dst) - 0.5, 0.0, src - 1.0)
+    lo = jnp.floor(x).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, src - 1)
+    f = (x - lo).astype(jnp.float32)
+    m = jnp.zeros((dst, src), jnp.float32)
+    m = m.at[jnp.arange(dst), lo].add(1.0 - f)
+    return m.at[jnp.arange(dst), hi].add(f)
+
+
 def resize_bilinear(img: Array, height: int, width: int) -> Array:
     """Bilinear resize on NHWC (or HWC / HW) tensors — the on-device analog of
     torchvision ``Resize`` used throughout the reference loss path
-    (loss_utils.py:74-75,136-137; datasets/mono_dataset.py:122-125)."""
+    (loss_utils.py:74-75,136-137; datasets/mono_dataset.py:122-125).
+
+    Upsampling uses ``jax.image.resize`` (2-tap kernel — identical to torch
+    bilinear there). DOWNSAMPLING goes through explicit 2-tap separable
+    matmuls instead, because ``jax.image.resize`` antialiases (widens the
+    kernel by the scale factor) while the reference's tensor-mode
+    torchvision ``Resize``/``interpolate`` does NOT — up to 0.3 difference
+    at 4× downsample on the DS/DC instance-mask path."""
     shape = list(img.shape)
     if img.ndim == 2:
-        return jax.image.resize(img, (height, width), method="linear")
-    if img.ndim == 3:
-        return jax.image.resize(img, (height, width, shape[-1]), method="linear")
-    return jax.image.resize(
-        img, tuple(shape[:-3]) + (height, width, shape[-1]), method="linear"
-    )
+        src_h, src_w = shape
+    else:
+        src_h, src_w = shape[-3], shape[-2]
+    if height >= src_h and width >= src_w:
+        if img.ndim == 2:
+            return jax.image.resize(img, (height, width), method="linear")
+        if img.ndim == 3:
+            return jax.image.resize(img, (height, width, shape[-1]), method="linear")
+        return jax.image.resize(
+            img, tuple(shape[:-3]) + (height, width, shape[-1]), method="linear"
+        )
+
+    squeeze = img.ndim == 2
+    x = img[..., None] if squeeze else img
+    wy = _resize_matrix(src_h, height).astype(x.dtype)
+    wx = _resize_matrix(src_w, width).astype(x.dtype)
+    hi = jax.lax.Precision.HIGHEST  # 2-tap weights must not round through bf16
+    y = jnp.einsum("oh,...hwc->...owc", wy, x, precision=hi)
+    y = jnp.einsum("pw,...owc->...opc", wx, y, precision=hi)
+    return y[..., 0] if squeeze else y
 
 
 def upsample_nearest_2x(x: Array) -> Array:

@@ -184,6 +184,11 @@ def post_process_epipolar(
         return post**2, epipolar_map
     if mode == Mode.DS:
         # post_process_epipolar_2 (loss_utils.py:127-138): mask × map, no square
+        if instance_mask is None:
+            raise ValueError(
+                "mode=DS requires instance masks — configure mask_provider "
+                "(precomputed/maskrcnn)"
+            )
         if instance_mask.ndim == 3:
             instance_mask = instance_mask[..., None]
         m = resize_bilinear(
@@ -250,9 +255,24 @@ def epipolar_loss_terms(
     non_trivial = jnp.mean(jnp.abs(mobile * jnp.log(background + 1e-5)))
     loss = epip + cfg.alpha * non_trivial
 
-    if cfg.mode == Mode.DC or (cfg.w_d2_sim > 0 and instance_mask is not None):
-        mask = instance_mask if instance_mask is not None else jnp.zeros(mobile.shape[:3])
-        loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, mask))
+    # BCE similarity term. Active for: DC (its defining term) and the
+    # reference's checked-in SN+DC combined head (loss_functions.py:124 and
+    # :132-133 are BOTH live as shipped) — i.e. SN with w_d2_sim > 0 and a
+    # mask available. NOT implied for DS/T/TG: the README treats the modes
+    # as separate experiments, so DS stays pure mask×map under the default
+    # w_d2_sim. DC without a mask fails fast instead of silently training
+    # the BCE term against all-zeros (which would suppress the mobile map
+    # everywhere).
+    if cfg.mode == Mode.DC:
+        if instance_mask is None:
+            raise ValueError(
+                "mode=DC requires instance masks — configure mask_provider "
+                "(precomputed/maskrcnn); refusing to train the BCE term "
+                "against an implicit all-zero mask"
+            )
+        loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, instance_mask))
+    elif cfg.mode == Mode.SN and cfg.w_d2_sim > 0 and instance_mask is not None:
+        loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, instance_mask))
 
     return loss, post, ori
 

@@ -384,10 +384,33 @@ class Trainer:
             if cfg.mode == Mode.TG
             else None
         )
+        # live union mask for the loss/panel (reference val runs detectron2
+        # on the val frame, trainer.py:289-331)
+        union = None
+        if self.mask_provider is not None and hasattr(
+            self.mask_provider, "union_masks_from_images"
+        ):
+            tgt_u8 = np.clip((np.asarray(tgt) * 0.225 + 0.45) * 255.0, 0, 255).astype(np.uint8)
+            # when fused, the provider's own variable copy may have been
+            # donated away — use the live frozen tree
+            union = np.asarray(
+                self.mask_provider.union_masks_from_images(
+                    tgt_u8, cfg.height, cfg.width,
+                    variables=self.frozen.get("maskrcnn"),
+                )
+            )
+        viz_cfg = cfg
+        inst = jnp.asarray(union) if union is not None else None
+        if inst is None and cfg.mode in (Mode.DS, Mode.DC):
+            # DS/DC post-processing needs a mask the val path can't supply
+            # (keyed/absent provider) — log SN-style maps instead of crashing
+            import dataclasses
+
+            viz_cfg = dataclasses.replace(cfg, mode=Mode.SN, w_d2_sim=0.0)
         flow_px = flows[0] * scale_factor(cfg.height, cfg.width)
         epip_loss, epip_map, epip_ori = epipolar_loss_terms(
-            cfg, flow_px, mobiles[0], jnp.asarray(inputs["inv_K"])[None],
-            cam[:, :3, :3], cam[:, :3, 3], None, gw,
+            viz_cfg, flow_px, mobiles[0], jnp.asarray(inputs["inv_K"])[None],
+            cam[:, :3, :3], cam[:, :3, 3], inst, gw,
         )
 
         w = self.writers["val"]
@@ -412,18 +435,7 @@ class Trainer:
                 "0/instances", draw_boxes_rgb(inst, boxes, None), self.step,
                 dataformats="HWC",
             )
-        if self.mask_provider is not None and hasattr(
-            self.mask_provider, "union_masks_from_images"
-        ):
-            tgt_u8 = np.clip((np.asarray(tgt) * 0.225 + 0.45) * 255.0, 0, 255).astype(np.uint8)
-            # when fused, the provider's own variable copy may have been
-            # donated away — use the live frozen tree
-            union = np.asarray(
-                self.mask_provider.union_masks_from_images(
-                    tgt_u8, cfg.height, cfg.width,
-                    variables=self.frozen.get("maskrcnn"),
-                )
-            )
+        if union is not None:
             w.add_image("0/instance_union", union[0][None], self.step)
 
     # ------------------------------------------------------------- tools

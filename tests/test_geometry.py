@@ -224,3 +224,30 @@ class TestMisc:
     def test_gauss_weight_center_is_min(self):
         w = np.asarray(G.gauss_distance_weight(64, 128, 1)[0])
         assert w[32, 64] == w.min()
+
+
+class TestResizeTorchParity:
+    """resize_bilinear must match torch F.interpolate(bilinear,
+    align_corners=False, antialias=False) — the reference's tensor-mode
+    torchvision Resize — in BOTH directions (downsampling previously went
+    through jax.image.resize, which antialiases)."""
+
+    @pytest.mark.parametrize("dst", [(4, 8), (16, 32), (6, 40)])
+    def test_matches_torch(self, dst):
+        import torch
+        import torch.nn.functional as F
+
+        from mdn_sfm_tpu.geometry import resize_bilinear
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 8, 16, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), *dst))
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2), size=dst,
+                mode="bilinear", align_corners=False, antialias=False,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=2e-6)

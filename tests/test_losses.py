@@ -257,3 +257,40 @@ class TestComputeLosses:
         losses, _ = L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)
         assert float(losses["epip"]) < cfg.alpha * np.abs(0.5 * np.log(0.5 + 1e-5)) * 2 * 1.01
         # epip term ≈ alpha·nontrivial only (the residual part ~0)
+
+
+class TestBceActivation:
+    """BCE similarity-term semantics: DC's defining term (fail-fast without a
+    mask), active in the reference's checked-in SN+DC combined head
+    (loss_functions.py:124+132 both live), NOT implied for DS/T/TG."""
+
+    def _loss(self, cfg, mask):
+        colors, inv_Ks, flows, mobiles, cams = _make_inputs(cfg)
+        losses, _ = L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, mask)
+        return float(losses["loss"])
+
+    def test_dc_without_mask_raises(self):
+        cfg = Config(height=32, width=64, mode=Mode.DC, w_d2_sim=0.05).validate()
+        colors, inv_Ks, flows, mobiles, cams = _make_inputs(cfg)
+        with pytest.raises(ValueError, match="mode=DC requires"):
+            L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)
+
+    def test_ds_without_mask_raises(self):
+        cfg = Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.0).validate()
+        colors, inv_Ks, flows, mobiles, cams = _make_inputs(cfg)
+        with pytest.raises(ValueError, match="mode=DS requires"):
+            L.compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, None)
+
+    def test_ds_is_pure_mask_times_map(self):
+        """Default w_d2_sim must NOT add the BCE term in DS mode."""
+        mask = jnp.zeros((2, 32, 64)).at[:, 10:20, 20:40].set(1.0)
+        l1 = self._loss(Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.05).validate(), mask)
+        l2 = self._loss(Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.0).validate(), mask)
+        assert l1 == pytest.approx(l2, rel=1e-6)
+
+    def test_sn_plus_dc_combined_head(self):
+        """SN with w_d2_sim>0 and a mask present adds the BCE term."""
+        mask = jnp.zeros((2, 32, 64)).at[:, 10:20, 20:40].set(1.0)
+        l1 = self._loss(Config(height=32, width=64, mode=Mode.SN, w_d2_sim=0.05).validate(), mask)
+        l2 = self._loss(Config(height=32, width=64, mode=Mode.SN, w_d2_sim=0.0).validate(), mask)
+        assert abs(l1 - l2) > 1e-7
