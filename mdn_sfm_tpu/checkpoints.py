@@ -35,6 +35,30 @@ except ImportError:  # pragma: no cover
 # ----------------------------------------------------------------- helpers
 
 
+def latest_weights_idx(log_dir: str, version: str) -> int | None:
+    """Highest ``weights_{idx}`` under ``log_dir/version/models`` that holds a
+    mobile_decoder checkpoint, or None. Used by ``--resume auto`` (preemption
+    recovery — no reference analog; the reference resumes only via manual
+    --v_load/--idx_load flags, options.py:186-196)."""
+    models_dir = os.path.join(log_dir, version, "models")
+    if not os.path.isdir(models_dir):
+        return None
+    best = None
+    for name in os.listdir(models_dir):
+        if not name.startswith("weights_"):
+            continue
+        try:
+            idx = int(name.split("_", 1)[1])
+        except ValueError:
+            continue
+        folder = os.path.join(models_dir, name)
+        if os.path.exists(os.path.join(folder, "mobile_decoder.msgpack")) or os.path.exists(
+            os.path.join(folder, "mobile_decoder.pth")
+        ):
+            best = idx if best is None else max(best, idx)
+    return best
+
+
 def weights_folder(log_dir: str, version: str, idx: int) -> str:
     """(reference: trainer.py:111,146)"""
     return os.path.join(log_dir, version, "models", f"weights_{idx}")

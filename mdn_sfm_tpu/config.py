@@ -68,6 +68,13 @@ class Config:
     w_s: float = 1.0          # smoothness loss weight
     w_c: float = 0.5          # consistency loss weight
     w_d2_sim: float = 0.05    # instance-mask BCE similarity weight (DC term)
+    ds_similarity_term: bool = False  # DS also adds the w_d2_sim BCE term.
+    # The reference head is ambiguous: enabling DS (uncommenting
+    # post_process_epipolar_2 at loss_functions.py:125) leaves the
+    # unconditional BCE add at :132-133 live, so reference-DS plausibly
+    # trained with BCE too. Default off = pure mask×map (the README treats
+    # the modes as separate experiments); set True for the alternative
+    # reading without editing code.
     threshold: float = 9.22   # 95th-percentile epipolar threshold (options.py:84-87)
     alpha: float = 0.55       # non-trivial term weight (options.py:88-91)
     scales: tuple[int, ...] = (0, 1, 2, 3)
@@ -149,6 +156,11 @@ class Config:
     d2_infer_scale: int = 2         # live-provider inference res = scale × training res
     # (deviation from the reference's shortest-edge-1024 resize — see
     #  masks/maskrcnn.py::MaskRCNNProvider)
+    d2_allow_random_weights: bool = False  # let mask_provider=maskrcnn run with
+    # randomly initialized weights when log_dir/model_final_detectron2.pth is
+    # absent. Default off: training DS/DC against garbage masks is silent data
+    # corruption, so the provider fails fast instead (the reference crashes on
+    # the missing .pth too, trainer.py:170-179). Tests/tooling opt in.
     d2_fuse_step: bool = True       # fuse live Mask R-CNN inference INTO the jitted
     # train step (its variables ride the frozen tree) — one dispatch per step
     # instead of provider-dispatch + step-dispatch, and K-step scan dispatch
@@ -163,6 +175,10 @@ class Config:
     # (The reference calls set_train() on frozen models too, so their BN uses
     #  batch stats during training — trainer.py:201-205,226. Set False to mimic.)
     donate_state: bool = True
+    resume: str = ""                  # "auto" = continue v_save from its latest
+    # weights_{idx} (params + Adam + step) — preemption-safe restart for
+    # production runs. The reference can only resume via manual
+    # --v_load/--idx_load (options.py:186-196); "" keeps that behavior.
     profile_dir: str = ""             # if set, jax.profiler traces are written here
     steps_per_dispatch: int = 1       # optimizer steps fused per device dispatch
     # (lax.scan; amortizes host→device latency — essential on tunnel-attached
@@ -247,17 +263,17 @@ def _add_fields(parser: argparse.ArgumentParser, names: Sequence[str], bool_flag
 _TRAIN_FIELDS = [
     "data_path", "data_root", "log_dir", "other_files_path",
     "split", "num_layers", "use_elu", "dataset", "png", "height", "width",
-    "w_p", "w_e", "w_s", "w_c", "w_d2_sim", "threshold", "alpha",
+    "w_p", "w_e", "w_s", "w_c", "w_d2_sim", "ds_similarity_term", "threshold", "alpha",
     "scales", "frame_ids", "seed", "clip_grad", "mode",
     "gauss_sigma1", "gauss_sigma2",
     "fine_tune_flow_motion", "batch_size", "learning_rate", "num_epochs",
     "momentum", "beta", "weight_decay", "scheduler_step_size", "legacy_lr_schedule",
     "no_ssim", "weights_init", "pose_model_input",
     "disable_photoloss", "disable_consisloss", "disable_min", "disable_smoothloss",
-    "num_workers", "models_to_load", "load_adam", "v_load", "idx_load",
+    "num_workers", "models_to_load", "load_adam", "v_load", "idx_load", "resume",
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
-    "d2_infer_scale", "d2_fuse_step",
+    "d2_infer_scale", "d2_fuse_step", "d2_allow_random_weights",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
     "steps_per_dispatch",
 ]
@@ -270,7 +286,7 @@ _EVAL_FIELDS = [
     "gt_mask_path", "sequence_length", "binary_threshold", "eval_num_samples",
     "save_pred_masks", "save_pred_motions", "save_pred_poses", "pred_errors",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
-    "d2_infer_scale", "compute_dtype",
+    "d2_infer_scale", "d2_allow_random_weights", "compute_dtype",
 ]
 
 

@@ -255,14 +255,16 @@ def epipolar_loss_terms(
     non_trivial = jnp.mean(jnp.abs(mobile * jnp.log(background + 1e-5)))
     loss = epip + cfg.alpha * non_trivial
 
-    # BCE similarity term. Active for: DC (its defining term) and the
+    # BCE similarity term. Active for: DC (its defining term), the
     # reference's checked-in SN+DC combined head (loss_functions.py:124 and
     # :132-133 are BOTH live as shipped) — i.e. SN with w_d2_sim > 0 and a
-    # mask available. NOT implied for DS/T/TG: the README treats the modes
-    # as separate experiments, so DS stays pure mask×map under the default
-    # w_d2_sim. DC without a mask fails fast instead of silently training
-    # the BCE term against all-zeros (which would suppress the mobile map
-    # everywhere).
+    # mask available — and DS behind the explicit ds_similarity_term opt-in
+    # (reference-DS is ambiguous: enabling post_process_epipolar_2 at
+    # loss_functions.py:125 leaves the unconditional BCE add at :132-133
+    # live, so both readings exist; default = pure mask×map). Never for
+    # T/TG. DC without a mask fails fast instead of silently training the
+    # BCE term against all-zeros (which would suppress the mobile map
+    # everywhere); DS already failed fast inside post_process_epipolar.
     if cfg.mode == Mode.DC:
         if instance_mask is None:
             raise ValueError(
@@ -272,6 +274,8 @@ def epipolar_loss_terms(
             )
         loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, instance_mask))
     elif cfg.mode == Mode.SN and cfg.w_d2_sim > 0 and instance_mask is not None:
+        loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, instance_mask))
+    elif cfg.mode == Mode.DS and cfg.ds_similarity_term and cfg.w_d2_sim > 0:
         loss = loss + cfg.w_d2_sim * jnp.mean(instance_similarity_bce(mobile, instance_mask))
 
     return loss, post, ori

@@ -17,7 +17,6 @@ Weight import from the reference's ``model_final_detectron2.pth`` is in
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -407,9 +406,10 @@ class MaskRCNN(nn.Module):
     box_candidates: int = 1024
     score_thresh: float = ROI_SCORE_THRESH  # cfg.d2_score_thresh (trainer.py:175)
     dtype: Any = jnp.bfloat16
-    roi_dtype: Any = jnp.float32  # ROIAlign gather/blend precision; the fast
-    # provider path uses bf16 (halves the dominant gather traffic — PARITY.md
-    # DS profile), the GT-tooling backend keeps detectron2-exact f32
+    roi_dtype: Any = jnp.float32  # ROIAlign gather/blend precision; the
+    # training-time provider uses bf16 (halves the dominant gather traffic —
+    # PARITY.md DS profile), the GT-tooling backend keeps detectron2-exact
+    # f32 (even with the fast proposal budget)
 
     @nn.compact
     def __call__(self, image: Array, true_h: Array, true_w: Array) -> Detections:
@@ -492,7 +492,9 @@ class MaskRCNN(nn.Module):
 # ---------------------------------------------------------- host interface
 
 
-def preprocess_np(img_rgb: np.ndarray) -> tuple[np.ndarray, float, int, int]:
+def preprocess_np(
+    img_rgb: np.ndarray, input_hw: tuple[int, int] | None = None
+) -> tuple[np.ndarray, float, int, int]:
     """ResizeShortestEdge(1024, 2048) + BGR caffe normalization + pad to the
     static input shape (utils.py:53-74 get_detectron2_input analog).
 
@@ -501,11 +503,11 @@ def preprocess_np(img_rgb: np.ndarray) -> tuple[np.ndarray, float, int, int]:
     import cv2
 
     h, w = img_rgb.shape[:2]
-    scale = min(MIN_SIZE_TEST / min(h, w), MAX_SIZE_TEST / max(h, w))
+    sh, sw = input_hw if input_hw is not None else static_input_shape()
+    scale = min(MIN_SIZE_TEST / min(h, w), MAX_SIZE_TEST / max(h, w), sh / h, sw / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     resized = cv2.resize(img_rgb.astype(np.float32), (nw, nh))
     bgr = resized[:, :, ::-1] - np.array(PIXEL_MEAN_BGR, np.float32)
-    sh, sw = static_input_shape()
     out = np.zeros((sh, sw, 3), np.float32)
     out[:nh, :nw] = bgr[:sh, :sw]
     return out, scale, nh, nw
@@ -519,9 +521,11 @@ def static_input_shape() -> tuple[int, int]:
 
 # fast proposal budget (256/256/512 instead of detectron2's test-time
 # 1000/1000) — minor quality change, much cheaper static NMS; shared by the
-# GT-tooling backend (fast=True) and the training-time provider
-FAST_BUDGET = dict(pre_nms_topk=256, post_nms_topk=256, box_candidates=512,
-                   roi_dtype=jnp.bfloat16)
+# GT-tooling backend (fast=True) and the training-time provider. ROIAlign
+# precision is NOT part of the budget: the provider opts into bf16 pooling
+# separately (roi_dtype), the GT-tooling backend keeps detectron2-exact f32
+# even with fast=True.
+FAST_BUDGET = dict(pre_nms_topk=256, post_nms_topk=256, box_candidates=512)
 
 
 def build_model_and_weights(
@@ -531,13 +535,14 @@ def build_model_and_weights(
     weights_path: str | None = None,
     fast: bool = False,
     score_thresh: float = ROI_SCORE_THRESH,
+    roi_dtype: Any = jnp.float32,
 ) -> tuple[MaskRCNN, dict]:
     """Shared construction + weights-or-random-init fallback for every
     Mask R-CNN consumer (backend / provider), so the proposal budget and
     import strictness can't silently diverge between GT tooling and
     training-time masks."""
     model = MaskRCNN(max_det=max_det, score_thresh=score_thresh,
-                     **(FAST_BUDGET if fast else {}))
+                     roi_dtype=roi_dtype, **(FAST_BUDGET if fast else {}))
     if weights_path:
         variables = import_detectron2_pth(weights_path, model)
     else:
@@ -565,28 +570,52 @@ class MaskRCNNBackend:
     uint8 masks and the detection table cross the host boundary."""
 
     def __init__(self, weights_path: str | None = None, max_det: int = 32,
-                 fast: bool = False, score_thresh: float = ROI_SCORE_THRESH):
+                 fast: bool = False, score_thresh: float = ROI_SCORE_THRESH,
+                 input_hw: tuple[int, int] | None = None,
+                 mesh=None):
         """fast=True shrinks the proposal top-k budget (FAST_BUDGET) —
-        ~minor quality change, much cheaper static NMS."""
-        sh, sw = static_input_shape()
+        ~minor quality change, much cheaper static NMS.
+
+        ``mesh``: an optional 1-D 'spatial' mesh (parallel.make_spatial_mesh)
+        — the padded input is sharded along image WIDTH across its devices,
+        so the full-res backbone/FPN (the bulk of the FLOPs at 640×2048)
+        partitions spatially with XLA-inserted halo exchanges over ICI; the
+        small ROI stages all-gather. Single-image model parallelism for when
+        there is no batch to split (GT tooling latency)."""
+        sh, sw = input_hw if input_hw is not None else static_input_shape()
+        assert sh % 64 == 0 and sw % 64 == 0, "input shape must be /64 for FPN"
+        self.input_hw = (sh, sw)
         self.model, self.variables = build_model_and_weights(
             max_det, sh, sw, weights_path, fast, score_thresh
         )
 
-        @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
         def run(variables, padded, nh, nw, scale, out_h, out_w):
             det = self.model.apply(variables, padded, nh, nw)
             boxes = det.boxes / scale
             masks = paste_threshold_union_ready(det, boxes, out_h, out_w)
             return masks.astype(jnp.uint8), boxes, det.classes, det.scores, det.valid
 
-        self._run = run
+        if mesh is None:
+            self._run = jax.jit(run, static_argnames=("out_h", "out_w"))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import SPATIAL_AXIS
+
+            rep = NamedSharding(mesh, P())
+            img = NamedSharding(mesh, P(None, SPATIAL_AXIS, None))
+            self._run = jax.jit(
+                run,
+                static_argnames=("out_h", "out_w"),
+                in_shardings=(rep, img, rep, rep, rep),
+                out_shardings=rep,
+            )
 
     def predict(self, img_rgb: np.ndarray):
         """→ (masks (N, H, W) uint8, boxes (N, 4), classes (N,), scores (N,))
         at the original image resolution."""
         h, w = img_rgb.shape[:2]
-        padded, scale, nh, nw = preprocess_np(img_rgb)
+        padded, scale, nh, nw = preprocess_np(img_rgb, self.input_hw)
         masks, boxes, classes, scores, valid = jax.device_get(
             self._run(
                 self.variables,
@@ -624,10 +653,29 @@ class MaskRCNNProvider:
         ih, iw = cfg.height * scale, cfg.width * scale
         assert ih % 64 == 0 and iw % 64 == 0, "d2 inference shape must be /64 for FPN"
         weights = os.path.join(cfg.log_dir, "model_final_detectron2.pth")
+        if not os.path.exists(weights):
+            # Fail fast: a DS/DC run supervised by a randomly initialized
+            # Mask R-CNN trains the mask×map / BCE terms against garbage with
+            # no other symptom. The reference crashes on the missing .pth too
+            # (trainer.py:170-179); tests/tooling opt in explicitly.
+            if not getattr(cfg, "d2_allow_random_weights", False):
+                raise FileNotFoundError(
+                    f"mask_provider=maskrcnn needs detectron2 weights at "
+                    f"{weights} — place model_final_detectron2.pth in log_dir, "
+                    f"or set d2_allow_random_weights=true to accept randomly "
+                    f"initialized masks (tests/smoke only)"
+                )
+            print(
+                f"WARNING: {weights} not found — Mask R-CNN provider running "
+                f"with RANDOM weights (d2_allow_random_weights); DS/DC "
+                f"supervision is garbage. Do not train real runs like this.",
+                flush=True,
+            )
+            weights = None
         self.model, self.variables = build_model_and_weights(
-            cfg.d2_max_instances, ih, iw,
-            weights if os.path.exists(weights) else None,
+            cfg.d2_max_instances, ih, iw, weights,
             fast=True, score_thresh=cfg.d2_score_thresh,
+            roi_dtype=jnp.bfloat16,
         )
 
         out_h, out_w = cfg.height, cfg.width

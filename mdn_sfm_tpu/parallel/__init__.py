@@ -11,12 +11,14 @@ from .mesh import (
     data_sharding,
     global_batch_to_device,
     make_mesh,
+    make_spatial_mesh,
     replicate,
     shard_batch,
 )
 
 __all__ = [
     "make_mesh",
+    "make_spatial_mesh",
     "data_sharding",
     "shard_batch",
     "replicate",

@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(num_data_shards: int = 0, devices: list | None = None) -> Mesh:
@@ -28,6 +29,19 @@ def make_mesh(num_data_shards: int = 0, devices: list | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = num_data_shards or len(devices)
     return Mesh(np.array(devices[:n]), (DATA_AXIS,))
+
+
+def make_spatial_mesh(num_shards: int = 0, devices: list | None = None) -> Mesh:
+    """1-D mesh over the 'spatial' axis — image-width sharding for single
+    large-image inference (the full-res Mask R-CNN GT tooling), where there
+    is no batch to split. Convolutions partition with XLA-inserted halo
+    exchanges over ICI; the tiny ROI stages all-gather.
+
+    No reference analog (detectron2 runs one image per GPU); this is the
+    TPU-native way to cut full-res latency below one chip's worth."""
+    devices = devices if devices is not None else jax.devices()
+    n = num_shards or len(devices)
+    return Mesh(np.array(devices[:n]), (SPATIAL_AXIS,))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

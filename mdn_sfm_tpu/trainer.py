@@ -119,7 +119,30 @@ class Trainer:
                   f"against randomly initialized supervision ({folder})")
 
         self.start_step = 0
-        if (cfg.fine_tune_flow_motion or cfg.load_adam) and "mobile_decoder" in cfg.models_to_load:
+        self.start_idx_save = 0
+        resume_folder = None
+        if cfg.resume == "auto":
+            # preemption-safe restart: continue v_save from its own latest
+            # checkpoint (params + Adam + step); falls through to a fresh
+            # start when none exists yet
+            latest = ckpt.latest_weights_idx(cfg.log_dir, cfg.v_save)
+            if latest is not None:
+                resume_folder = ckpt.weights_folder(cfg.log_dir, cfg.v_save, latest)
+                names = (
+                    ("flownet", "posenet", "mobile_decoder")
+                    if cfg.fine_tune_flow_motion
+                    else ("mobile_decoder",)
+                )
+                variables, _, self.start_step = ckpt.load_checkpoint(
+                    resume_folder, variables, models_to_load=names
+                )
+                self.start_idx_save = latest + 1
+                print(f"Auto-resume: {resume_folder} (step {self.start_step})")
+        if (
+            resume_folder is None
+            and (cfg.fine_tune_flow_motion or cfg.load_adam)
+            and "mobile_decoder" in cfg.models_to_load
+        ):
             mfolder = ckpt.weights_folder(cfg.log_dir, cfg.v_load, cfg.idx_load)
             if os.path.isdir(mfolder):
                 variables, _, self.start_step = ckpt.load_checkpoint(
@@ -129,8 +152,8 @@ class Trainer:
 
         self.tx = T.make_optimizer(cfg, self.steps_per_epoch)
         self.state, self.frozen = T.create_train_state(cfg, self.models, variables, self.tx)
-        if cfg.load_adam:
-            mfolder = ckpt.weights_folder(cfg.log_dir, cfg.v_load, cfg.idx_load)
+        if cfg.load_adam or resume_folder is not None:
+            mfolder = resume_folder or ckpt.weights_folder(cfg.log_dir, cfg.v_load, cfg.idx_load)
             adam = os.path.join(mfolder, "adam.msgpack")
             if os.path.exists(adam):
                 opt_state = ckpt.load_variables(adam, jax.device_get(self.state.opt_state))
@@ -138,6 +161,12 @@ class Trainer:
                 print("Loading Adam state...")
             else:
                 print("Cannot find Adam weights so Adam is randomly initialized")
+        if self.start_step:
+            # keep the in-step counter (augment RNG fold, LR for fresh Adam)
+            # consistent with the restored position
+            self.state = self.state._replace(
+                step=jnp.asarray(self.start_step, jnp.int32)
+            )
 
         # fuse a live Mask R-CNN provider into the step: its variables ride
         # the frozen tree, inference happens inside the same XLA program
@@ -223,7 +252,7 @@ class Trainer:
         cfg = self.cfg
         self.epoch = 0
         self.step = self.start_step
-        self.idx_save = 0
+        self.idx_save = self.start_idx_save
         self.start_time = time.time()
         for self.epoch in range(cfg.num_epochs):
             self.run_epoch()

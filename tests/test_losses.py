@@ -288,6 +288,22 @@ class TestBceActivation:
         l2 = self._loss(Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.0).validate(), mask)
         assert l1 == pytest.approx(l2, rel=1e-6)
 
+    def test_ds_similarity_term_opt_in(self):
+        """ds_similarity_term=True makes DS also add the w_d2_sim BCE term
+        (the alternative reading of the reference head, where enabling
+        post_process_epipolar_2 leaves loss_functions.py:132-133 live)."""
+        mask = jnp.zeros((2, 32, 64)).at[:, 10:20, 20:40].set(1.0)
+        base = Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.05).validate()
+        opt = Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.05,
+                     ds_similarity_term=True).validate()
+        l_base = self._loss(base, mask)
+        l_opt = self._loss(opt, mask)
+        assert abs(l_opt - l_base) > 1e-7
+        # and the opt-in still scales with w_d2_sim (0 weight == default)
+        opt0 = Config(height=32, width=64, mode=Mode.DS, w_d2_sim=0.0,
+                      ds_similarity_term=True).validate()
+        assert self._loss(opt0, mask) == pytest.approx(l_base, rel=1e-6)
+
     def test_sn_plus_dc_combined_head(self):
         """SN with w_d2_sim>0 and a mask present adds the BCE term."""
         mask = jnp.zeros((2, 32, 64)).at[:, 10:20, 20:40].set(1.0)

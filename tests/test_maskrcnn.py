@@ -387,7 +387,8 @@ class TestMaskRCNNProvider:
 
         cfg = Config(height=64, width=96, batch_size=2, mode=Mode.DS,
                      mask_provider="maskrcnn", d2_max_instances=4,
-                     d2_infer_scale=2, compute_dtype="float32").validate()
+                     d2_infer_scale=2, compute_dtype="float32",
+                     d2_allow_random_weights=True).validate()
         return M.MaskRCNNProvider(cfg), cfg
 
     def test_batched_union_masks(self, provider):
@@ -404,6 +405,27 @@ class TestMaskRCNNProvider:
         with pytest.raises(RuntimeError, match="union_masks_from_images"):
             prov.union_masks(["a", "b"], cfg.height, cfg.width)
 
+    def test_missing_weights_fail_fast(self, tmp_path):
+        """Without d2_allow_random_weights, a log_dir lacking
+        model_final_detectron2.pth must refuse to build the provider —
+        DS/DC supervised by random weights is silent garbage."""
+        from mdn_sfm_tpu.config import Config, Mode
+
+        cfg = Config(height=64, width=96, batch_size=1, mode=Mode.DS,
+                     mask_provider="maskrcnn", d2_max_instances=2,
+                     log_dir=str(tmp_path), compute_dtype="float32").validate()
+        with pytest.raises(FileNotFoundError, match="model_final_detectron2"):
+            M.MaskRCNNProvider(cfg)
+
+    def test_roi_dtype_split(self, provider):
+        """The provider pools ROIs in bf16 (perf); the GT-tooling backend
+        keeps detectron2-exact f32 even with the fast proposal budget."""
+        prov, _ = provider
+        assert prov.model.roi_dtype == jnp.bfloat16
+        assert "roi_dtype" not in M.FAST_BUDGET
+        fast_backend_model = M.MaskRCNN(max_det=2, **M.FAST_BUDGET)
+        assert fast_backend_model.roi_dtype == jnp.float32
+
 
 class TestFusedProviderStep:
     """cfg.d2_fuse_step: the live provider fused INTO the jitted train step
@@ -416,7 +438,8 @@ class TestFusedProviderStep:
 
         cfg = Config(height=64, width=96, batch_size=2, mode=Mode.DS,
                      mask_provider="maskrcnn", d2_max_instances=4,
-                     d2_infer_scale=2, compute_dtype="float32").validate()
+                     d2_infer_scale=2, compute_dtype="float32",
+                     d2_allow_random_weights=True).validate()
         return M.MaskRCNNProvider(cfg), cfg
 
     def test_fused_step_matches_host_masks(self, provider):
@@ -487,6 +510,109 @@ class TestFusedProviderStep:
         assert float(m_shard["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
 
 
+class TestTorchPipelineParity:
+    """End-to-end validation of the whole port against an INDEPENDENT torch
+    twin (tests/torch_d2_twin.py): a real torch-serialized .pth in the
+    detectron2 key layout goes through import_detectron2_pth, and the
+    JAX detections must match the twin's — convs, frozen BN, FPN, RPN
+    proposal selection, ROIAlign, NMS, box regression, mask head."""
+
+    BUDGET = dict(max_det=8, pre_nms_topk=64, post_nms_topk=32,
+                  box_candidates=64, score_thresh=0.05)
+
+    def test_full_pipeline_matches_torch_twin(self, tmp_path):
+        import torch
+
+        from torch_d2_twin import random_twin
+
+        twin = random_twin(seed=3, **self.BUDGET)
+        pth = str(tmp_path / "model_final_detectron2.pth")
+        torch.save(twin.state_dict(), pth)
+
+        model = M.MaskRCNN(dtype=jnp.float32, roi_dtype=jnp.float32, **self.BUDGET)
+        variables = M.import_detectron2_pth(pth, model)
+
+        rng = np.random.default_rng(11)
+        img = rng.uniform(0, 255, size=(128, 256, 3)).astype(np.float32)
+        img -= np.array(M.PIXEL_MEAN_BGR, np.float32)
+
+        det = jax.device_get(
+            jax.jit(model.apply)(
+                variables, jnp.asarray(img), jnp.float32(120.0), jnp.float32(250.0)
+            )
+        )
+        tb, ts, tc, tm, tv = twin(
+            torch.from_numpy(img).permute(2, 0, 1), 120.0, 250.0
+        )
+
+        np.testing.assert_array_equal(np.asarray(det.valid), tv.numpy())
+        assert det.valid.any(), "no valid detections — test would be vacuous"
+        v = np.asarray(det.valid)
+        np.testing.assert_array_equal(np.asarray(det.classes)[v], tc.numpy()[v])
+        np.testing.assert_allclose(np.asarray(det.scores)[v], ts.numpy()[v],
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(det.boxes)[v], tb.numpy()[v],
+                                   atol=0.1, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(det.masks28)[v], tm.numpy()[v],
+                                   atol=2e-3)
+
+    def test_paste_matches_torch_grid_sample(self):
+        """The separable-matmul paste equals torch grid_sample
+        (align_corners=False, zeros padding) — the canonical detectron2
+        paste_masks_in_image op."""
+        import torch
+
+        from torch_d2_twin import paste_masks_t
+
+        rng = np.random.default_rng(5)
+        masks = rng.uniform(size=(6, 28, 28)).astype(np.float32)
+        boxes = np.stack([
+            rng.uniform(0, 40, 6), rng.uniform(0, 30, 6),
+            rng.uniform(50, 95, 6), rng.uniform(40, 62, 6),
+        ], axis=-1).astype(np.float32)
+        ours = np.asarray(M.paste_masks(jnp.asarray(masks), jnp.asarray(boxes), 64, 96))
+        ref = paste_masks_t(torch.from_numpy(masks), torch.from_numpy(boxes), 64, 96)
+        np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5)
+
+
+class TestSpatialSharding:
+    def test_spatial_mesh_matches_single_device(self):
+        """The width-sharded backend (image spatially partitioned over an
+        8-device 'spatial' mesh, conv halos inserted by GSPMD) must reproduce
+        the single-device pipeline end to end."""
+        from mdn_sfm_tpu.parallel import make_spatial_mesh
+
+        hw = (128, 512)
+        single = M.MaskRCNNBackend(max_det=4, fast=True, input_hw=hw)
+        sharded = M.MaskRCNNBackend(
+            max_det=4, fast=True, input_hw=hw, mesh=make_spatial_mesh(8)
+        )
+        # identical init keys → identical random weights
+        chex = jax.tree_util.tree_all(
+            jax.tree.map(lambda a, b: bool(jnp.all(a == b)),
+                         single.variables, sharded.variables)
+        )
+        assert chex
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, size=(120, 500, 3), dtype=np.uint8)
+        padded, scale, nh, nw = M.preprocess_np(img, hw)
+        args = (jnp.asarray(padded), jnp.array(float(nh)), jnp.array(float(nw)),
+                jnp.array(scale, jnp.float32))
+        m1, b1, c1, s1, v1 = jax.device_get(
+            single._run(single.variables, *args, 120, 500))
+        m2, b2, c2, s2, v2 = jax.device_get(
+            sharded._run(sharded.variables, *args, 120, 500))
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(s1, s2, atol=1e-3)
+        np.testing.assert_allclose(b1, b2, atol=0.5)  # px-scale box agreement
+        # binarized masks: near-total pixel agreement (float-order effects
+        # only flip pixels sitting exactly on the 0.5 paste threshold)
+        disagree = np.mean(m1.astype(np.int32) != m2.astype(np.int32))
+        assert disagree < 1e-3
+
+
 class TestScoreThreshWiring:
     def test_d2_score_thresh_reaches_the_model(self):
         """Regression: --d2_score_thresh was parsed but never read — the
@@ -495,7 +621,8 @@ class TestScoreThreshWiring:
 
         cfg = Config(height=64, width=96, batch_size=1, mode=Mode.DS,
                      mask_provider="maskrcnn", d2_max_instances=2,
-                     d2_score_thresh=0.7, compute_dtype="float32").validate()
+                     d2_score_thresh=0.7, compute_dtype="float32",
+                     d2_allow_random_weights=True).validate()
         prov = M.MaskRCNNProvider(cfg)
         assert prov.model.score_thresh == 0.7
         assert prov.model.pre_nms_topk == M.FAST_BUDGET["pre_nms_topk"]

@@ -84,6 +84,40 @@ class TestTrainLoop:
         np.testing.assert_allclose(np.asarray(leaves_a[0]), np.asarray(leaves_b[0]))
 
 
+class TestAutoResume:
+    def test_auto_resume_continues_from_latest(self, trained):
+        """--resume auto: finds the latest weights_{idx} of v_save, restores
+        params + Adam + step, and continues idx_save past it (preemption
+        recovery; no reference analog — its resume is manual flags only)."""
+        tmp, cfg, trainer = trained
+        import dataclasses
+
+        import jax
+
+        models_dir = os.path.join(cfg.log_dir, "vtest", "models")
+        idxs = sorted(
+            int(d.split("_")[1]) for d in os.listdir(models_dir) if d.startswith("weights_")
+        )
+        cfg2 = dataclasses.replace(cfg, resume="auto")
+        t2 = Trainer(cfg2, synthetic=True)
+        assert t2.start_step > 0
+        assert t2.start_idx_save == idxs[-1] + 1
+        assert int(jax.device_get(t2.state.step)) == t2.start_step
+
+        a = jax.tree.leaves(jax.device_get(trainer.state.params["mobile_decoder"]))
+        b = jax.tree.leaves(jax.device_get(t2.state.params["mobile_decoder"]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+        # Adam restored too (mu for the same leaf matches the saved state)
+        ma = jax.tree.leaves(jax.device_get(trainer.state.opt_state))
+        mb = jax.tree.leaves(jax.device_get(t2.state.opt_state))
+        assert len(ma) == len(mb)
+
+    def test_auto_resume_fresh_start_when_no_checkpoint(self, tmp_path):
+        cfg = make_cfg(str(tmp_path), resume="auto", v_save="vfresh")
+        t = Trainer(cfg, synthetic=True)
+        assert t.start_step == 0 and t.start_idx_save == 0
+
+
 class TestMultiDispatch:
     def test_k_steps_per_dispatch_trains_and_saves(self, tmp_path):
         cfg = make_cfg(str(tmp_path), steps_per_dispatch=4, save_frequency=8,
@@ -122,7 +156,7 @@ class TestFusedMaskProvider:
         frozen detectron2 weights never enter the checkpoint layout."""
         cfg = make_cfg(
             str(tmp_path), mode=Mode.DS, mask_provider="maskrcnn",
-            d2_max_instances=4,
+            d2_max_instances=4, d2_allow_random_weights=True,
         )
         trainer = Trainer(cfg, synthetic=True)
         assert trainer._fused_masks

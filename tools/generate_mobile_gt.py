@@ -44,6 +44,13 @@ def get_argparser() -> argparse.ArgumentParser:
                         help="derive per-instance masks from the KITTI semantic "
                              "instance maps instead of a model")
     parser.add_argument("--n_samples", type=int, default=200)
+    parser.add_argument("--weights", type=str, default="",
+                        help="detectron2 .pth for the predict phase")
+    parser.add_argument("--spatial_shards", type=int, default=0,
+                        help="shard the full-res Mask R-CNN input spatially "
+                             "(image width) over this many chips — cuts "
+                             "single-image latency when >1 chip is attached "
+                             "(0 = single device)")
     return parser
 
 
@@ -82,7 +89,12 @@ def predict_with_model(args) -> None:
     """Run the mask backend over the input images (reference phase 1)."""
     from mdn_sfm_tpu.masks.maskrcnn import MaskRCNNBackend  # lazy: heavy
 
-    backend = MaskRCNNBackend()
+    mesh = None
+    if args.spatial_shards > 1:
+        from mdn_sfm_tpu.parallel import make_spatial_mesh
+
+        mesh = make_spatial_mesh(args.spatial_shards)
+    backend = MaskRCNNBackend(weights_path=args.weights or None, mesh=mesh)
     files = sorted(
         os.path.join(args.input, f)
         for f in os.listdir(args.input)

@@ -46,6 +46,7 @@ def capture(args) -> str:
         threshold=9.22,
         w_d2_sim=0.05 if args.mode in ("DS", "DC") else 0.0,
         mask_provider=args.provider,
+        d2_allow_random_weights=True,  # profiling tool: compute shape matters, weights do not
         compute_dtype="bfloat16",
     ).validate()
 
