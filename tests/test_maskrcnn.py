@@ -85,6 +85,38 @@ class TestRoiAlign:
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
 
 
+class TestMultilevelDenseParity:
+    def test_dense_matches_gather(self):
+        """The separable-matmul multilevel ROIAlign (the hot-path form) must
+        reproduce the gather formulation exactly: same taps, same clips,
+        same sub-bin means — including degenerate all-zero boxes (invalid
+        proposals), boxes hanging off the image, and boxes on every FPN
+        level."""
+        rng = np.random.default_rng(7)
+        h, w = 32, 48
+        feats = [
+            jnp.asarray(rng.normal(size=(h // 2**i, w // 2**i, 8)).astype(np.float32))
+            for i in range(4)
+        ]
+        boxes = jnp.asarray(
+            np.array(
+                [
+                    [0.0, 0.0, 0.0, 0.0],          # degenerate (invalid slot)
+                    [4.0, 4.0, 40.0, 30.0],        # P2-sized
+                    [-10.0, -10.0, 60.0, 50.0],    # off-image → clipped taps
+                    [0.0, 0.0, 500.0, 400.0],      # huge → clamped to P5
+                    [3.0, 5.0, 90.0, 70.0],
+                    [10.0, 2.0, 360.0, 250.0],
+                ],
+                np.float32,
+            )
+        )
+        for out_size in (7, 14):
+            dense = np.asarray(M.multilevel_roi_align(feats, boxes, out_size))
+            gather = np.asarray(M.multilevel_roi_align_gather(feats, boxes, out_size))
+            np.testing.assert_allclose(dense, gather, rtol=1e-5, atol=1e-5)
+
+
 class TestPaste:
     def test_full_canvas_box(self):
         mask = jnp.ones((1, M.MASK_RES, M.MASK_RES))

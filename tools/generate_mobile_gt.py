@@ -94,6 +94,9 @@ def predict_with_model(args) -> None:
         from mdn_sfm_tpu.parallel import make_spatial_mesh
 
         mesh = make_spatial_mesh(args.spatial_shards)
+    if not args.weights:
+        print("WARNING: no --weights given — predicting with RANDOM Mask R-CNN "
+              "weights; the dumped instance masks will be garbage.", flush=True)
     backend = MaskRCNNBackend(weights_path=args.weights or None, mesh=mesh)
     files = sorted(
         os.path.join(args.input, f)
