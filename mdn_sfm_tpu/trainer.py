@@ -44,6 +44,7 @@ class Trainer:
             os.makedirs(cfg.profile_dir, exist_ok=True)
 
         self.writers = self._make_writers()
+        self._stop_requested = False
         self._initialize_dataset()
         self._initialize_models()
 
@@ -209,8 +210,20 @@ class Trainer:
         """(reference: trainer.py:97-106)"""
         self.cfg.save(os.path.join(self.save_path, "models", "opt.json"))
 
-    def save_model(self, idx_save: int):
-        """(reference: trainer.py:108-131)"""
+    def save_model(self, idx_save: int, async_write: bool = False):
+        """(reference: trainer.py:108-131)
+
+        Multi-host: params are replicated across hosts, so only process 0
+        writes (every host writing the same folder over a shared FS is a
+        race). With ``async_write`` (the mid-epoch save_frequency saves) the
+        file write runs on a background thread — the device→host pull is
+        synchronous (a consistent snapshot), but serialization + disk IO
+        overlap the next training dispatches; ``_join_pending_save`` orders
+        writes and train() joins before returning. The default is a
+        synchronous write (reference semantics: files exist on return)."""
+        self._join_pending_save()
+        if jax.process_index() != 0:
+            return
         folder = ckpt.weights_folder(self.cfg.log_dir, self.cfg.v_save, idx_save)
         state = jax.device_get(self.state)
         # the fused provider's maskrcnn tree is frozen detectron2 weights —
@@ -226,7 +239,26 @@ class Trainer:
             names = ("flownet", "posenet", "mobile_decoder")
         else:
             names = ("mobile_decoder",)
-        ckpt.save_checkpoint(folder, variables, state.opt_state, int(state.step), names)
+
+        if not async_write:
+            ckpt.save_checkpoint(folder, variables, state.opt_state, int(state.step), names)
+            return
+        import threading
+
+        self._pending_save = threading.Thread(
+            target=ckpt.save_checkpoint,
+            args=(folder, variables, state.opt_state, int(state.step), names),
+            daemon=False,
+        )
+        self._pending_save.start()
+
+    def _join_pending_save(self):
+        """Block until the last async checkpoint write finishes (called
+        before starting a new save and before load/exit paths)."""
+        t = getattr(self, "_pending_save", None)
+        if t is not None:
+            t.join()
+            self._pending_save = None
 
     def _device_batch(self, arrays: tuple, keys: list[str]) -> dict:
         colors, K = arrays
@@ -248,15 +280,41 @@ class Trainer:
         return shard_batch(self.mesh, batch) if n_dev > 1 else batch
 
     def train(self):
-        """(reference: trainer.py:213-254)"""
+        """(reference: trainer.py:213-254)
+
+        SIGTERM/SIGINT during the epoch loop checkpoint the current state at
+        the next batch boundary and exit cleanly — preemption safety pairing
+        with ``--resume auto`` (the reference loses up to save_frequency
+        steps on any interruption, trainer.py:253-254)."""
+        import signal
+
         cfg = self.cfg
         self.epoch = 0
         self.step = self.start_step
         self.idx_save = self.start_idx_save
         self.start_time = time.time()
-        for self.epoch in range(cfg.num_epochs):
-            self.run_epoch()
-        self.save_model(self.idx_save)
+        self._stop_requested = False
+
+        def _request_stop(signum, frame):
+            print(f"signal {signum}: checkpointing at the next batch boundary")
+            self._stop_requested = True
+
+        prev = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev[sig] = signal.signal(sig, _request_stop)
+        except ValueError:
+            prev = {}  # not the main thread (tests) — no handler, flag still works
+        try:
+            for self.epoch in range(cfg.num_epochs):
+                self.run_epoch()
+                if self._stop_requested:
+                    break
+            self.save_model(self.idx_save)
+        finally:
+            self._join_pending_save()  # train() returns with the files on disk
+            for sig, h in prev.items():
+                signal.signal(sig, h)
 
     def run_epoch(self):
         if self.cfg.steps_per_dispatch > 1:
@@ -267,6 +325,8 @@ class Trainer:
     def _run_epoch_single(self):
         cfg = self.cfg
         for batch_idx, (arrays, idxs) in enumerate(self.train_loader):
+            if self._stop_requested:
+                return
             if cfg.profile_dir and self.step == 10:
                 jax.profiler.start_trace(cfg.profile_dir)
             if cfg.profile_dir and self.step == 15:
@@ -289,7 +349,7 @@ class Trainer:
 
             self.step += 1
             if self.step % cfg.save_frequency == 0:
-                self.save_model(self.idx_save)
+                self.save_model(self.idx_save, async_write=True)
                 self.idx_save += 1
 
     def _run_epoch_multi(self):
@@ -303,6 +363,8 @@ class Trainer:
         pend: list = []
         dispatch_idx = 0
         for arrays, idxs in self.train_loader:
+            if self._stop_requested:
+                break
             keys = [self.sample_keys[int(i)] for i in idxs]
             pend.append(self._device_batch(arrays, keys))
             if len(pend) < K:
@@ -325,7 +387,7 @@ class Trainer:
             self.step += K
             dispatch_idx += 1
             if self.step // cfg.save_frequency > (self.step - K) // cfg.save_frequency:
-                self.save_model(self.idx_save)
+                self.save_model(self.idx_save, async_write=True)
                 self.idx_save += 1
 
         # flush the epoch tail (< K buffered batches) one step at a time
@@ -335,7 +397,7 @@ class Trainer:
             )
             self.step += 1
             if self.step % cfg.save_frequency == 0:
-                self.save_model(self.idx_save)
+                self.save_model(self.idx_save, async_write=True)
                 self.idx_save += 1
 
     def log_time(self, batch_idx: int, duration: float, loss: float):

@@ -117,6 +117,60 @@ class TestAutoResume:
         t = Trainer(cfg, synthetic=True)
         assert t.start_step == 0 and t.start_idx_save == 0
 
+    def test_sigterm_checkpoints_and_exits(self, tmp_path):
+        """SIGTERM mid-epoch: the handler flags a stop, the loop exits at the
+        next batch boundary, and train() writes a final checkpoint — so
+        --resume auto can continue a preempted run."""
+        import signal
+
+        cfg = make_cfg(str(tmp_path), v_save="vsig", num_epochs=5,
+                       save_frequency=10_000)
+        t = Trainer(cfg, synthetic=True)
+        orig = t.step_fn
+        calls = []
+
+        def step_then_sigterm(*a):
+            calls.append(1)
+            if len(calls) == 2:
+                signal.raise_signal(signal.SIGTERM)
+            return orig(*a)
+
+        t.step_fn = step_then_sigterm
+        t.train()  # must RETURN (not die) and save
+        assert len(calls) == 2, "loop did not stop at the next batch boundary"
+        import jax
+
+        from mdn_sfm_tpu import checkpoints as ckpt
+
+        latest = ckpt.latest_weights_idx(cfg.log_dir, "vsig")
+        assert latest is not None
+        folder = ckpt.weights_folder(cfg.log_dir, "vsig", latest)
+        import json
+
+        with open(os.path.join(folder, "meta.json")) as f:
+            assert json.load(f)["step"] == 2
+        assert int(jax.device_get(t.state.step)) == 2
+
+    def test_async_save_ordered_and_complete(self, tmp_path):
+        """save_model writes on a background thread; back-to-back saves must
+        serialize (the second joins the first) and train() must return with
+        the final checkpoint fully on disk (the SIGTERM test and auto-resume
+        depend on that)."""
+        from mdn_sfm_tpu import checkpoints as ckpt
+
+        cfg = make_cfg(str(tmp_path), v_save="vasync", num_epochs=1)
+        t = Trainer(cfg, synthetic=True)
+        t.train()
+        # overlapping manual saves: 2 then 3, join, both complete
+        t.save_model(2)
+        t.save_model(3)
+        t._join_pending_save()
+        for idx in (2, 3):
+            folder = ckpt.weights_folder(cfg.log_dir, "vasync", idx)
+            assert os.path.exists(os.path.join(folder, "mobile_decoder.msgpack"))
+            assert os.path.exists(os.path.join(folder, "adam.msgpack"))
+            assert os.path.exists(os.path.join(folder, "meta.json"))
+
 
 class TestMultiDispatch:
     def test_k_steps_per_dispatch_trains_and_saves(self, tmp_path):
