@@ -13,6 +13,7 @@ epipolar loss, anomaly-detection off), i.e. vs_baseline = fps / 40.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 NOMINAL_PYTORCH_GPU_FPS = 40.0
@@ -23,7 +24,7 @@ K_STEPS = 16   # optimizer steps fused per device dispatch (lax.scan)
 ROUNDS = 3     # timed dispatches
 
 
-def main() -> None:
+def main(mode_name: str = "TG") -> None:
     from mdn_sfm_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -35,24 +36,40 @@ def main() -> None:
     from mdn_sfm_tpu.config import Config, Mode
     from mdn_sfm_tpu.data.synthetic import synthetic_batch
 
+    mode = Mode[mode_name]
+    extra = {}
+    if mode in (Mode.DS, Mode.DC):
+        # fused live Mask R-CNN supervision; random weights (no .pth on this
+        # box) — identical compute graph, so timings are representative
+        extra = dict(mask_provider="maskrcnn", d2_allow_random_weights=True,
+                     d2_max_instances=32)
     cfg = Config(
         height=HEIGHT,
         width=WIDTH,
         batch_size=BATCH,
-        mode=Mode.TG,
+        mode=mode,
         threshold=9.22,
         w_d2_sim=0.0,
         compute_dtype="bfloat16",
+        **extra,
     ).validate()
 
     models = T.build_models(cfg)
     variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
     tx = T.make_optimizer(cfg, steps_per_epoch=1000)
     state, frozen = T.create_train_state(cfg, models, variables, tx)
+    mask_fn = None
+    if cfg.mask_provider == "maskrcnn":
+        from mdn_sfm_tpu.masks import build_mask_provider
+
+        provider = build_mask_provider(cfg)
+        frozen = dict(frozen)
+        frozen["maskrcnn"] = provider.variables
+        mask_fn = provider.union_fn
     # K optimizer steps per dispatch: on tunnel-attached TPUs per-call
     # latency dwarfs compute; scan amortizes it like a real input pipeline
     # that keeps the device fed.
-    kstep = T.make_multi_train_step(cfg, models, tx, unroll=1)
+    kstep = T.make_multi_train_step(cfg, models, tx, unroll=1, mask_fn=mask_fn)
 
     colors, K = synthetic_batch(BATCH * K_STEPS, HEIGHT, WIDTH, seed=0)
     colors = colors.reshape(K_STEPS, BATCH, *colors.shape[1:])
@@ -76,7 +93,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "KITTI 640x192 train-step frames/sec/chip (TG mode, bs4)",
+                "metric": f"KITTI 640x192 train-step frames/sec/chip ({mode_name} mode, bs4)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / NOMINAL_PYTORCH_GPU_FPS, 3),
@@ -86,4 +103,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "TG")

@@ -45,21 +45,36 @@ def evaluate(cfg) -> None:
     print(f"-> Computing predictions with size {cfg.width}x{cfg.height}")
     print("-> Evaluating:  Mono evaluation - using median scaling")
 
-    for j in range(len(framework)):
-        tgt_img, next_img = framework[j]
-        tgt, ref = prepare_pair(tgt_img, next_img, cfg.height, cfg.width)
-        _, mobiles, _, _, _ = fwd(variables, jnp.asarray(tgt), jnp.asarray(ref))
-        mask = np.asarray(mobiles[0])[0, ..., 0]
+    from mdn_sfm_tpu.utils import eval_chunks
 
-        if cfg.save_pred_masks:
-            tgt_small = _resize_u8(
-                np.clip(tgt_img, 0, 255).astype(np.uint8), cfg.height, cfg.width
-            )
-            m3 = np.repeat(mask[..., None], 3, axis=-1)
-            viz = np.vstack(
-                [tgt_small, 255 * m3, 255 * np.repeat(binary_image(mask)[..., None], 3, -1)]
-            ).astype(np.uint8)
-            imwrite(os.path.join(out_dir, f"{j}.png"), viz)
+    # batched dispatch: eval_batch_size samples per jitted call (identical
+    # per-sample results; the reference loops one sample at a time)
+    for idxs, n_valid in eval_chunks(len(framework), cfg.eval_batch_size):
+        samples = [framework[j] for j in idxs[:n_valid]]
+        samples += [samples[-1]] * (len(idxs) - n_valid)
+        pairs = [
+            prepare_pair(tgt_img, next_img, cfg.height, cfg.width)
+            for tgt_img, next_img in samples
+        ]
+        tgt = jnp.concatenate([jnp.asarray(t) for t, _ in pairs])
+        ref = jnp.concatenate([jnp.asarray(r) for _, r in pairs])
+        _, mobiles, _, _, _ = fwd(variables, tgt, ref)
+        masks = np.asarray(mobiles[0])[..., 0]
+
+        for bi in range(n_valid):
+            j = idxs[bi]
+            mask = masks[bi]
+            if cfg.save_pred_masks:
+                tgt_small = _resize_u8(
+                    np.clip(samples[bi][0], 0, 255).astype(np.uint8),
+                    cfg.height, cfg.width,
+                )
+                m3 = np.repeat(mask[..., None], 3, axis=-1)
+                viz = np.vstack(
+                    [tgt_small, 255 * m3,
+                     255 * np.repeat(binary_image(mask)[..., None], 3, -1)]
+                ).astype(np.uint8)
+                imwrite(os.path.join(out_dir, f"{j}.png"), viz)
 
     print("\n-> Done!")
 

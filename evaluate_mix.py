@@ -27,10 +27,9 @@ def evaluate(cfg) -> np.ndarray:
 
     from mdn_sfm_tpu import checkpoints as ckpt
     from mdn_sfm_tpu import training as T
-    from mdn_sfm_tpu.data.eval_datasets import KittiSegDataset, prepare_pair
+    from mdn_sfm_tpu.data.eval_datasets import KittiSegDataset
     from mdn_sfm_tpu.geometry import scale_factor
     from mdn_sfm_tpu.losses import epipolar_loss_terms
-    from mdn_sfm_tpu.viz import imwrite, load_as_float, normalize_image
 
     models = T.build_models(cfg)
     variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
@@ -54,78 +53,49 @@ def evaluate(cfg) -> np.ndarray:
     print("-> Evaluating\n   Mono evaluation - using median scaling")
 
     sf = scale_factor(cfg.height, cfg.width)
-    metrics = []
-    for j in range(len(dataset)):
-        inputs = dataset[j]
-        tgt = jnp.asarray(inputs[("color", 0)])[None]
-        ref = jnp.asarray(inputs[("color", 1)])[None]
-        inv_K = jnp.asarray(inputs["inv_K"])[None]
 
+    # the reference's eval path always uses SN post-processing for the
+    # epipolar viz maps (LossModule.epipolar_loss, loss_functions.py:124)
+    import dataclasses
+
+    from mdn_sfm_tpu.config import Mode
+    from mdn_sfm_tpu.utils import eval_chunks
+
+    viz_cfg = dataclasses.replace(cfg, mode=Mode.SN, w_d2_sim=0.0)
+
+    @jax.jit
+    def step(variables, tgt, ref, inv_K):
+        """Batched net-res eval: forward + SN epipolar viz maps, one dispatch
+        per eval_batch_size samples (the reference loops per sample with
+        dozens of eager ops each, evaluate_mix.py:58-85)."""
         flows, mobiles, aa, t, cam = fwd(variables, tgt, ref)
-        mobile_mask = mobiles[0]  # (1, H, W, 1)
+        mobile_mask = mobiles[0]  # (B, H, W, 1)
         full_flow = flows[0] * sf
-
-        # the reference's eval path always uses SN post-processing for the
-        # epipolar viz maps (LossModule.epipolar_loss, loss_functions.py:124)
-        import dataclasses
-
-        from mdn_sfm_tpu.config import Mode
-
-        viz_cfg = dataclasses.replace(cfg, mode=Mode.SN, w_d2_sim=0.0)
         _, post_epip, ori_epip = epipolar_loss_terms(
             viz_cfg, full_flow, mobile_mask, inv_K, cam[:, :3, :3], cam[:, :3, 3], None, None
         )
+        return mobile_mask, post_epip, ori_epip
 
-        gt_path = os.path.join(cfg.gt_mask_path, f"{j}.png")
-        if not os.path.exists(gt_path):
-            continue
-        gt_mask = load_as_float(gt_path) / 255.0
-        if gt_mask.ndim == 3:
-            gt_mask = gt_mask[..., 0]
+    metrics = []
+    for idxs, n_valid in eval_chunks(len(dataset), cfg.eval_batch_size):
+        batch_inputs = [dataset[j] for j in idxs[:n_valid]]
+        pad = [batch_inputs[-1]] * (len(idxs) - n_valid)
+        stacked = batch_inputs + pad
+        tgt = jnp.stack([jnp.asarray(x[("color", 0)]) for x in stacked])
+        ref = jnp.stack([jnp.asarray(x[("color", 1)]) for x in stacked])
+        inv_K = jnp.stack([jnp.asarray(x["inv_K"]) for x in stacked])
+        mobile_b, post_b, ori_b = step(variables, tgt, ref, inv_K)
+        mobile_b, post_b, ori_b = jax.device_get((mobile_b, post_b, ori_b))
 
-        pred = np.asarray(mobile_mask)[0, ..., 0]
-        if pred.shape != gt_mask.shape:
-            # GT masks are at the original resolution; compare there like the
-            # reference (it scores full-res GT vs net-res mask expanded — we
-            # upsample the prediction to GT resolution)
-            import jax.image
-
-            pred = np.asarray(
-                jax.image.resize(jnp.asarray(pred), gt_mask.shape, method="linear")
+        for bi in range(n_valid):
+            j = idxs[bi]
+            inputs = batch_inputs[bi]
+            mobile_mask = mobile_b[bi : bi + 1]
+            post_epip = post_b[bi : bi + 1]
+            ori_epip = ori_b[bi : bi + 1]
+            _score_and_viz(
+                cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir
             )
-        metrics.append(
-            get_quantitative_results(binary_image(pred, cfg.binary_threshold), gt_mask)
-        )
-
-        if cfg.save_pred_masks:
-            # stacked panel like the reference (evaluate_mix.py:87-99):
-            # [instance boxes | binary mask | mobile | post epip | ori epip]
-            from mdn_sfm_tpu.data.kitti import _resize_u8
-            from mdn_sfm_tpu.labels import TRAINID2LABEL
-            from mdn_sfm_tpu.viz import draw_boxes_rgb
-
-            inst = np.clip(inputs["instance_img"], 0, 255).astype(np.uint8)
-            anns = inputs["annotations"]
-            boxes, colors = [], []
-            for a in anns:
-                x1, y1, x2, y2 = a["bbox"]
-                boxes.append([x1, y1, x2, y2])
-                colors.append(TRAINID2LABEL[a["category_id"] + 1].color)
-            seg_img = draw_boxes_rgb(inst, np.array(boxes).reshape(-1, 4), colors)
-            seg_small = _resize_u8(seg_img, cfg.height, cfg.width)
-
-            m = np.asarray(mobile_mask)[0, ..., 0]
-            expand = lambda g: np.repeat(g[..., None], 3, -1)  # noqa: E731
-            viz = np.hstack(
-                [
-                    seg_small,
-                    255 * expand(binary_image(m, cfg.binary_threshold)),
-                    255 * expand(m),
-                    255 * expand(normalize_image(np.asarray(post_epip)[0, ..., 0])),
-                    255 * expand(normalize_image(np.asarray(ori_epip)[0, ..., 0])),
-                ]
-            ).astype(np.uint8)
-            imwrite(os.path.join(out_dir, f"{j}.png"), viz)
 
     if cfg.save_pred_masks:
         print("Evaluation save to --> ", out_dir)
@@ -133,6 +103,64 @@ def evaluate(cfg) -> np.ndarray:
     print(result)
     print("\n-> Done!")
     return result
+
+
+def _score_and_viz(cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir):
+    """Per-sample host-side scoring + panel writing (unchanged semantics from
+    the per-sample loop; reference evaluate_mix.py:82-105)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdn_sfm_tpu.viz import imwrite, load_as_float, normalize_image
+
+    gt_path = os.path.join(cfg.gt_mask_path, f"{j}.png")
+    if not os.path.exists(gt_path):
+        return  # reference skips the sample entirely (no metric, no panel)
+    gt_mask = load_as_float(gt_path) / 255.0
+    if gt_mask.ndim == 3:
+        gt_mask = gt_mask[..., 0]
+
+    pred = np.asarray(mobile_mask)[0, ..., 0]
+    if pred.shape != gt_mask.shape:
+        # GT masks are at the original resolution; compare there like the
+        # reference (it scores full-res GT vs net-res mask expanded — we
+        # upsample the prediction to GT resolution)
+        pred = np.asarray(
+            jax.image.resize(jnp.asarray(pred), gt_mask.shape, method="linear")
+        )
+    metrics.append(
+        get_quantitative_results(binary_image(pred, cfg.binary_threshold), gt_mask)
+    )
+
+    if cfg.save_pred_masks:
+        # stacked panel like the reference (evaluate_mix.py:87-99):
+        # [instance boxes | binary mask | mobile | post epip | ori epip]
+        from mdn_sfm_tpu.data.kitti import _resize_u8
+        from mdn_sfm_tpu.labels import TRAINID2LABEL
+        from mdn_sfm_tpu.viz import draw_boxes_rgb
+
+        inst = np.clip(inputs["instance_img"], 0, 255).astype(np.uint8)
+        anns = inputs["annotations"]
+        boxes, colors = [], []
+        for a in anns:
+            x1, y1, x2, y2 = a["bbox"]
+            boxes.append([x1, y1, x2, y2])
+            colors.append(TRAINID2LABEL[a["category_id"] + 1].color)
+        seg_img = draw_boxes_rgb(inst, np.array(boxes).reshape(-1, 4), colors)
+        seg_small = _resize_u8(seg_img, cfg.height, cfg.width)
+
+        m = np.asarray(mobile_mask)[0, ..., 0]
+        expand = lambda g: np.repeat(g[..., None], 3, -1)  # noqa: E731
+        viz = np.hstack(
+            [
+                seg_small,
+                255 * expand(binary_image(m, cfg.binary_threshold)),
+                255 * expand(m),
+                255 * expand(normalize_image(np.asarray(post_epip)[0, ..., 0])),
+                255 * expand(normalize_image(np.asarray(ori_epip)[0, ..., 0])),
+            ]
+        ).astype(np.uint8)
+        imwrite(os.path.join(out_dir, f"{j}.png"), viz)
 
 
 if __name__ == "__main__":

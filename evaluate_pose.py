@@ -47,20 +47,37 @@ def evaluate(cfg) -> tuple[np.ndarray, np.ndarray]:
     predictions = np.zeros((n, cfg.sequence_length, 3, 4))
     errors = np.zeros((n, 2), np.float32)
 
-    for j, sample in enumerate(framework):
-        imgs = sample["imgs"]
-        global_pose = np.eye(4)
-        poses = [global_pose[:3, :].copy()]
-        # chain: global ← global · inv(pairwise) (evaluate_pose.py:70-77)
-        for it in range(cfg.sequence_length - 1):
-            tgt, ref = prepare_pair(imgs[it], imgs[it + 1], cfg.height, cfg.width)
-            pose_mat = np.asarray(pose_fwd(variables, jnp.asarray(tgt), jnp.asarray(ref)))[0]
-            global_pose = global_pose @ np.linalg.inv(pose_mat)
-            poses.append(global_pose[:3, :].copy())
+    from mdn_sfm_tpu.utils import eval_chunks
 
-        final_poses = np.stack(poses)
-        predictions[j] = final_poses
-        errors[j] = compute_pose_error(sample["poses"], final_poses)
+    # every pairwise PoseNet forward is independent — batch
+    # eval_batch_size·(sequence_length-1) pairs per jitted dispatch; only the
+    # global-pose chaining (a cumulative matrix product) stays host-side
+    L = cfg.sequence_length
+    for idxs, n_valid in eval_chunks(n, cfg.eval_batch_size):
+        samples = [framework[j] for j in idxs[:n_valid]]
+        samples += [samples[-1]] * (len(idxs) - n_valid)
+        pairs = [
+            prepare_pair(s["imgs"][it], s["imgs"][it + 1], cfg.height, cfg.width)
+            for s in samples
+            for it in range(L - 1)
+        ]
+        tgt = jnp.concatenate([jnp.asarray(t) for t, _ in pairs])
+        ref = jnp.concatenate([jnp.asarray(r) for _, r in pairs])
+        pose_mats = np.asarray(pose_fwd(variables, tgt, ref)).reshape(-1, L - 1, 4, 4)
+
+        for bi in range(n_valid):
+            j = idxs[bi]
+            sample = samples[bi]
+            global_pose = np.eye(4)
+            poses = [global_pose[:3, :].copy()]
+            # chain: global ← global · inv(pairwise) (evaluate_pose.py:70-77)
+            for it in range(L - 1):
+                global_pose = global_pose @ np.linalg.inv(pose_mats[bi, it])
+                poses.append(global_pose[:3, :].copy())
+
+            final_poses = np.stack(poses)
+            predictions[j] = final_poses
+            errors[j] = compute_pose_error(sample["poses"], final_poses)
 
     out_dir = os.path.join(cfg.eval_out_dir, "pose")
     os.makedirs(out_dir, exist_ok=True)

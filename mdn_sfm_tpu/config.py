@@ -143,6 +143,10 @@ class Config:
     pred_errors: bool = False
     binary_threshold: float = 0.5   # mobile-mask binarization (per-mode values: README.md:27-33)
     eval_num_samples: int = 200     # KITTI-2015 eval set size (eval_utils.py:27)
+    eval_batch_size: int = 8        # samples per jitted eval dispatch (the
+    # reference evaluates one sample at a time, eval_utils.py; batching is a
+    # TPU-side throughput win with identical per-sample results — the last
+    # chunk pads by repetition so jitted shapes stay static)
 
     # INSTANCE MASKS — how the DS/DC modes get instance-union masks.
     #   "none":        all-zero masks (pure self-supervised SN/T/TG training)
@@ -284,6 +288,7 @@ _EVAL_FIELDS = [
     "weights_init", "mode", "gauss_sigma1", "gauss_sigma2", "w_d2_sim",
     "load_weights_folder", "version", "idx", "eval_name", "eval_out_dir",
     "gt_mask_path", "sequence_length", "binary_threshold", "eval_num_samples",
+    "eval_batch_size",
     "save_pred_masks", "save_pred_motions", "save_pred_poses", "pred_errors",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "d2_infer_scale", "d2_allow_random_weights", "compute_dtype",

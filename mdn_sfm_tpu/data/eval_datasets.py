@@ -273,12 +273,22 @@ class OdometryFramework:
     def __len__(self) -> int:
         return sum(len(s) for s in self.sample_indices)
 
+    def _make_sample(self, img_list: list[str], pose_list: np.ndarray, snippet) -> dict:
+        imgs = [load_as_float(img_list[i]) for i in snippet]
+        poses = np.stack([pose_list[i] for i in snippet])
+        first = poses[0]
+        poses[:, :, -1] -= first[:, -1]
+        compensated = np.linalg.inv(first[:, :3]) @ poses
+        return {"imgs": imgs, "path": img_list[snippet[0]], "poses": compensated}
+
+    def __getitem__(self, index: int) -> dict:
+        for img_list, pose_list, samples in zip(self.img_files, self.poses, self.sample_indices):
+            if index < len(samples):
+                return self._make_sample(img_list, pose_list, samples[index])
+            index -= len(samples)
+        raise IndexError(index)
+
     def __iter__(self) -> Iterator[dict]:
         for img_list, pose_list, samples in zip(self.img_files, self.poses, self.sample_indices):
             for snippet in samples:
-                imgs = [load_as_float(img_list[i]) for i in snippet]
-                poses = np.stack([pose_list[i] for i in snippet])
-                first = poses[0]
-                poses[:, :, -1] -= first[:, -1]
-                compensated = np.linalg.inv(first[:, :3]) @ poses
-                yield {"imgs": imgs, "path": img_list[snippet[0]], "poses": compensated}
+                yield self._make_sample(img_list, pose_list, snippet)
