@@ -81,6 +81,10 @@ class Config:
     frame_ids: tuple[int, ...] = (0, -1, 1)
     seed: int = 42            # CONSUMED here (the reference's --seed is dead, options.py:102-105)
     clip_grad: float = 1.0
+    skip_nonfinite_updates: bool = False  # optax.apply_if_finite around the
+    # optimizer: NaN/Inf-gradient steps become no-ops instead of poisoning
+    # params — production counterpart of the reference's anomaly detection
+    # (trainer.py:234), which only crashes after the fact
 
     # MODE — first-class here; the reference hardcodes SN(+DC) (loss_functions.py:124,132-133)
     mode: Mode = Mode.SN
@@ -238,6 +242,7 @@ _BOOL_FLAGS_TRAIN = [
     # action="store_true" flags from options.py
     "fine_tune_flow_motion", "no_ssim", "disable_photoloss", "disable_consisloss",
     "disable_min", "disable_smoothloss", "load_adam", "legacy_lr_schedule",
+    "skip_nonfinite_updates",
 ]
 
 _BOOL_FLAGS_EVAL = [
@@ -268,7 +273,7 @@ _TRAIN_FIELDS = [
     "data_path", "data_root", "log_dir", "other_files_path",
     "split", "num_layers", "use_elu", "dataset", "png", "height", "width",
     "w_p", "w_e", "w_s", "w_c", "w_d2_sim", "ds_similarity_term", "threshold", "alpha",
-    "scales", "frame_ids", "seed", "clip_grad", "mode",
+    "scales", "frame_ids", "seed", "clip_grad", "skip_nonfinite_updates", "mode",
     "gauss_sigma1", "gauss_sigma2",
     "fine_tune_flow_motion", "batch_size", "learning_rate", "num_epochs",
     "momentum", "beta", "weight_decay", "scheduler_step_size", "legacy_lr_schedule",

@@ -378,9 +378,12 @@ def multilevel_roi_align(
         wx = _separable_roi_weights(b[:, 0], b[:, 2], w, out_size, sampling, dt)
         wy = _separable_roi_weights(b[:, 1], b[:, 3], h, out_size, sampling, dt)
         # contract the wider spatial dim first (KITTI frames: W > H) so the
-        # intermediate is (R, H, out, C), the smaller of the two choices
-        t = jnp.einsum("rjw,hwc->rhjc", wx, feat, precision=prec)
-        o = jnp.einsum("rih,rhjc->rijc", wy, t, precision=prec)
+        # intermediate is R·H·out·C, the smaller of the two choices; the
+        # (R, out, H, C) axis order measured 1.5× faster than (R, H, out, C)
+        # at provider shapes — XLA needs no layout copy between the two dots
+        # (micro-bench in PARITY.md round-3 notes)
+        t = jnp.einsum("rjw,hwc->rjhc", wx, feat, precision=prec)
+        o = jnp.einsum("rih,rjhc->rijc", wy, t, precision=prec)
         sel = (lvl == li)[:, None, None, None]
         out = o if out is None else jnp.where(sel, o, out)
     return out

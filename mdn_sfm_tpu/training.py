@@ -119,14 +119,25 @@ def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
-    """clip-by-global-norm → Adam(β₁=momentum, β₂=beta) (trainer.py:189,236)."""
+    """clip-by-global-norm → Adam(β₁=momentum, β₂=beta) (trainer.py:189,236).
+
+    With ``cfg.skip_nonfinite_updates`` the whole chain is wrapped in
+    ``optax.apply_if_finite``: a step whose gradients contain NaN/Inf
+    becomes a no-op (params and inner optimizer state untouched) instead of
+    poisoning the run — the production-training counterpart of the
+    reference's per-backward anomaly detection (trainer.py:234), which can
+    only crash after the fact. Stays on the hot path for free (one
+    all-finite reduction, no host sync)."""
     sched = lr_schedule(cfg, steps_per_epoch)
     adam = (
         optax.adamw(sched, b1=cfg.momentum, b2=cfg.beta, weight_decay=cfg.weight_decay)
         if cfg.weight_decay > 0
         else optax.adam(sched, b1=cfg.momentum, b2=cfg.beta)
     )
-    return optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), adam)
+    if cfg.skip_nonfinite_updates:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(

@@ -51,6 +51,34 @@ class TestTrainStep:
         assert int(state.step) == 1
         assert aux.min_mobiles[0].shape == (cfg.batch_size, cfg.height, cfg.width, 1)
 
+    def test_skip_nonfinite_updates_guards_params(self):
+        """cfg.skip_nonfinite_updates: a NaN-gradient step is a no-op on
+        params and inner Adam state; a finite step applies normally."""
+        import dataclasses
+
+        import optax
+
+        cfg = Config(height=32, width=64, skip_nonfinite_updates=True).validate()
+        tx = T.make_optimizer(cfg, steps_per_epoch=10)
+        params = {"w": jnp.ones((4,), jnp.float32)}
+        opt_state = tx.init(params)
+
+        bad = {"w": jnp.full((4,), jnp.nan, jnp.float32)}
+        upd, new_state = tx.update(bad, opt_state, params)
+        np.testing.assert_array_equal(np.asarray(upd["w"]), np.zeros(4))
+        assert int(new_state.notfinite_count) == 1
+
+        good = {"w": jnp.ones((4,), jnp.float32)}
+        upd2, _ = tx.update(good, new_state, params)
+        assert np.all(np.isfinite(np.asarray(upd2["w"])))
+        assert float(np.abs(np.asarray(upd2["w"])).sum()) > 0
+
+        # default config stays the plain chain (checkpointed adam.msgpack
+        # layouts unchanged unless the flag is set)
+        cfg0 = dataclasses.replace(cfg, skip_nonfinite_updates=False)
+        tx0 = T.make_optimizer(cfg0, steps_per_epoch=10)
+        assert not isinstance(tx0.init(params), optax.ApplyIfFiniteState)
+
     def test_only_mobile_params_train(self, setup):
         cfg, models, variables = setup
         tx = T.make_optimizer(cfg, steps_per_epoch=10)
