@@ -36,10 +36,15 @@ except ImportError:  # pragma: no cover
 
 
 def latest_weights_idx(log_dir: str, version: str) -> int | None:
-    """Highest ``weights_{idx}`` under ``log_dir/version/models`` that holds a
-    mobile_decoder checkpoint, or None. Used by ``--resume auto`` (preemption
-    recovery — no reference analog; the reference resumes only via manual
-    --v_load/--idx_load flags, options.py:186-196)."""
+    """Highest COMPLETE ``weights_{idx}`` under ``log_dir/version/models``,
+    or None. Used by ``--resume auto`` (preemption recovery — no reference
+    analog; the reference resumes only via manual --v_load/--idx_load flags,
+    options.py:186-196).
+
+    A native checkpoint counts only if its ``meta.json`` commit marker exists
+    (written last by :func:`save_checkpoint`, so a folder interrupted
+    mid-save is skipped); reference-layout ``.pth`` folders have no marker
+    and count on the mobile_decoder file alone."""
     models_dir = os.path.join(log_dir, version, "models")
     if not os.path.isdir(models_dir):
         return None
@@ -52,9 +57,10 @@ def latest_weights_idx(log_dir: str, version: str) -> int | None:
         except ValueError:
             continue
         folder = os.path.join(models_dir, name)
-        if os.path.exists(os.path.join(folder, "mobile_decoder.msgpack")) or os.path.exists(
-            os.path.join(folder, "mobile_decoder.pth")
-        ):
+        native_ok = os.path.exists(
+            os.path.join(folder, "mobile_decoder.msgpack")
+        ) and os.path.exists(os.path.join(folder, "meta.json"))
+        if native_ok or os.path.exists(os.path.join(folder, "mobile_decoder.pth")):
             best = idx if best is None else max(best, idx)
     return best
 
@@ -104,9 +110,14 @@ def merge_partial(target: Any, loaded: Any) -> Any:
 
 
 def save_variables(path: str, variables: Any) -> None:
+    """Atomic write: serialize to a sibling tmp file, then ``os.replace``.
+    A preemption mid-write (the SIGTERM/SIGKILL pair most schedulers send)
+    can never leave a truncated msgpack at the final path."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(variables)))
+    os.replace(tmp, path)
 
 
 def load_variables(path: str, template: Any) -> Any:
@@ -121,15 +132,23 @@ def save_checkpoint(
     step: int = 0,
     models_to_save: tuple[str, ...] = ("flownet", "posenet", "mobile_decoder"),
 ) -> None:
-    """Save per-model files like the reference (trainer.py:108-131)."""
+    """Save per-model files like the reference (trainer.py:108-131).
+
+    Every file is written atomically, and ``meta.json`` is written LAST — its
+    presence is the checkpoint's commit marker: a folder with meta.json is
+    guaranteed to hold fully-written model files (``latest_weights_idx``
+    refuses folders without it, so ``--resume auto`` can never pick up a
+    half-saved checkpoint after a preemption)."""
     os.makedirs(folder, exist_ok=True)
     for name in models_to_save:
         if name in variables:
             save_variables(os.path.join(folder, f"{name}.msgpack"), variables[name])
     if opt_state is not None:
         save_variables(os.path.join(folder, "adam.msgpack"), opt_state)
-    with open(os.path.join(folder, "meta.json"), "w") as f:
+    tmp = os.path.join(folder, "meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump({"step": int(step)}, f)
+    os.replace(tmp, os.path.join(folder, "meta.json"))
 
 
 def load_checkpoint(

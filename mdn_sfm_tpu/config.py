@@ -118,6 +118,8 @@ class Config:
 
     # SYSTEM (options.py:172-178)
     num_workers: int = 4
+    limit_train_samples: int = 0  # >0: truncate the train set (smoke runs /
+                                  # quick experiments; no reference analog)
 
     # LOADING (options.py:181-196)
     models_to_load: tuple[str, ...] = ("flownet", "posenet", "mobile_decoder")
@@ -279,7 +281,8 @@ _TRAIN_FIELDS = [
     "momentum", "beta", "weight_decay", "scheduler_step_size", "legacy_lr_schedule",
     "no_ssim", "weights_init", "pose_model_input",
     "disable_photoloss", "disable_consisloss", "disable_min", "disable_smoothloss",
-    "num_workers", "models_to_load", "load_adam", "v_load", "idx_load", "resume",
+    "num_workers", "limit_train_samples",
+    "models_to_load", "load_adam", "v_load", "idx_load", "resume",
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "d2_infer_scale", "d2_fuse_step", "d2_allow_random_weights",

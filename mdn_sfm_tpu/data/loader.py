@@ -63,12 +63,22 @@ class HostLoader:
         return idx
 
     def __iter__(self) -> Iterator:
+        return self.iter_batches(0)
+
+    def iter_batches(self, skip: int = 0) -> Iterator:
+        """Iterate the epoch, dropping the first ``skip`` batches WITHOUT
+        decoding them — exact mid-epoch resume (`--resume auto`) re-enters
+        the epoch at the interrupted batch. The shuffle order depends only on
+        (seed, epoch), so a resumed process that sets ``loader.epoch`` to the
+        interrupted epoch sees the identical sequence."""
         indices = self._epoch_indices()
         self.epoch += 1
         nb = len(self)
         batches = [
-            indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(skip, nb)
         ]
+        nb = len(batches)
 
         import time
 

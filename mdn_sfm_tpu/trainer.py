@@ -68,11 +68,14 @@ class Trainer:
     def _initialize_dataset(self):
         cfg = self.cfg
         if self.synthetic:
-            dataset = SyntheticDataset(max(cfg.batch_size * 8, 64), cfg.height, cfg.width)
+            n = cfg.limit_train_samples or max(cfg.batch_size * 8, 64)
+            dataset = SyntheticDataset(n, cfg.height, cfg.width)
             self.sample_keys = [str(i) for i in range(len(dataset))]
         else:
             repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             lines = read_split_lines(split_path(repo_root, cfg.split, "train"))
+            if cfg.limit_train_samples:
+                lines = lines[: cfg.limit_train_samples]
             lines = shard_for_host(lines)
             img_ext = ".png" if cfg.png else ".jpg"
             dataset = KittiRawDataset(
@@ -139,6 +142,7 @@ class Trainer:
                 )
                 self.start_idx_save = latest + 1
                 print(f"Auto-resume: {resume_folder} (step {self.start_step})")
+        self._resumed_auto = resume_folder is not None
         if (
             resume_folder is None
             and (cfg.fine_tune_flow_motion or cfg.load_adam)
@@ -295,6 +299,20 @@ class Trainer:
         self.start_time = time.time()
         self._stop_requested = False
 
+        # Exact mid-epoch resume (auto only — a manual --v_load/--idx_load
+        # fine-tune keeps the reference semantics of a fresh num_epochs run):
+        # re-enter the interrupted epoch and skip its consumed batches, so an
+        # interrupted-then-resumed run consumes the identical batch sequence
+        # as an uninterrupted one (the per-epoch shuffle depends only on
+        # (seed, epoch) and the augment RNG only on the step counter).
+        start_epoch, self._skip_batches = 0, 0
+        if self._resumed_auto and self.steps_per_epoch > 0:
+            start_epoch, self._skip_batches = divmod(
+                self.start_step, self.steps_per_epoch
+            )
+            if start_epoch >= cfg.num_epochs:
+                print(f"Auto-resume: run already complete at step {self.start_step}")
+
         def _request_stop(signum, frame):
             print(f"signal {signum}: checkpointing at the next batch boundary")
             self._stop_requested = True
@@ -306,7 +324,7 @@ class Trainer:
         except ValueError:
             prev = {}  # not the main thread (tests) — no handler, flag still works
         try:
-            for self.epoch in range(cfg.num_epochs):
+            for self.epoch in range(start_epoch, cfg.num_epochs):
                 self.run_epoch()
                 if self._stop_requested:
                     break
@@ -317,14 +335,21 @@ class Trainer:
                 signal.signal(sig, h)
 
     def run_epoch(self):
+        # pin the shuffle to the trainer's epoch (not the loader's own
+        # iteration count) so resumed processes see identical epoch orders
+        self.train_loader.epoch = self.epoch
+        skip = getattr(self, "_skip_batches", 0)
+        self._skip_batches = 0  # only the re-entered epoch skips
         if self.cfg.steps_per_dispatch > 1:
-            self._run_epoch_multi()
+            self._run_epoch_multi(skip)
         else:
-            self._run_epoch_single()
+            self._run_epoch_single(skip)
 
-    def _run_epoch_single(self):
+    def _run_epoch_single(self, skip: int = 0):
         cfg = self.cfg
-        for batch_idx, (arrays, idxs) in enumerate(self.train_loader):
+        for batch_idx, (arrays, idxs) in enumerate(
+            self.train_loader.iter_batches(skip), start=skip
+        ):
             if self._stop_requested:
                 return
             if cfg.profile_dir and self.step == 10:
@@ -352,7 +377,7 @@ class Trainer:
                 self.save_model(self.idx_save, async_write=True)
                 self.idx_save += 1
 
-    def _run_epoch_multi(self):
+    def _run_epoch_multi(self, skip: int = 0):
         """K optimizer steps per device dispatch (lax.scan) — amortizes
         host→device latency; scalar logging is per dispatch (K-step means),
         image logging uses the scan's carried last-step aux. Epoch-tail
@@ -362,7 +387,7 @@ class Trainer:
         K = cfg.steps_per_dispatch
         pend: list = []
         dispatch_idx = 0
-        for arrays, idxs in self.train_loader:
+        for arrays, idxs in self.train_loader.iter_batches(skip):
             if self._stop_requested:
                 break
             keys = [self.sample_keys[int(i)] for i in idxs]

@@ -39,6 +39,33 @@ class TestNative:
             assert step == 7
             _trees_equal(loaded, variables)
 
+    def test_atomic_save_no_tmp_residue(self, variables):
+        with tempfile.TemporaryDirectory() as d:
+            folder = C.weights_folder(d, "v0", 0)
+            C.save_checkpoint(folder, variables, opt_state=None, step=1)
+            assert not [f for f in os.listdir(folder) if f.endswith(".tmp")]
+            assert os.path.exists(os.path.join(folder, "meta.json"))
+
+    def test_auto_resume_skips_half_saved_checkpoint(self, variables):
+        """A preemption mid-save leaves a folder without the meta.json commit
+        marker (written last); latest_weights_idx must fall back to the last
+        complete checkpoint instead of loading truncated files."""
+        with tempfile.TemporaryDirectory() as d:
+            C.save_checkpoint(C.weights_folder(d, "v0", 4), variables, step=40)
+            # simulate the interrupted save: model file (possibly truncated)
+            # present, no commit marker
+            half = C.weights_folder(d, "v0", 5)
+            os.makedirs(half)
+            with open(os.path.join(half, "mobile_decoder.msgpack"), "wb") as f:
+                f.write(b"\x00trunc")
+            assert C.latest_weights_idx(d, "v0") == 4
+            # reference-layout .pth folders carry no marker and still count
+            pth = C.weights_folder(d, "v0", 6)
+            os.makedirs(pth)
+            with open(os.path.join(pth, "mobile_decoder.pth"), "wb") as f:
+                f.write(b"x")
+            assert C.latest_weights_idx(d, "v0") == 6
+
     def test_partial_load_key_intersection(self, variables):
         """Leaves missing from the file keep their initialized values
         (reference: trainer.py:159-163)."""

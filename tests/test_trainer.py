@@ -117,6 +117,55 @@ class TestAutoResume:
         t = Trainer(cfg, synthetic=True)
         assert t.start_step == 0 and t.start_idx_save == 0
 
+    def test_interrupted_resume_matches_uninterrupted(self, tmp_path):
+        """Exact preemption recovery: interrupt mid-epoch, auto-resume, and
+        land on BITWISE-identical params to an uninterrupted run — the
+        resumed process re-enters the interrupted epoch (same (seed, epoch)
+        shuffle), skips the consumed batches, and the augment RNG folds the
+        step counter, so the two trajectories are the same computation."""
+        import dataclasses
+
+        import jax
+
+        # uninterrupted baseline: 2 epochs end-to-end (8 samples → 4
+        # batches/epoch keeps three Trainer runs CI-cheap)
+        kw = dict(num_epochs=2, save_frequency=10**6, limit_train_samples=8)
+        cfgA = make_cfg(str(tmp_path / "a"), **kw)
+        tA = Trainer(cfgA, synthetic=True)
+        tA.train()
+        stepsA = int(jax.device_get(tA.state.step))
+        assert stepsA == 2 * tA.steps_per_epoch
+
+        # same run, interrupted after 3 optimizer steps (mid-epoch 0)
+        cfgB = make_cfg(str(tmp_path / "b"), **kw)
+        tB = Trainer(cfgB, synthetic=True)
+        assert 0 < 3 < tB.steps_per_epoch
+        orig_step_fn, n_calls = tB.step_fn, [0]
+
+        def counting_step(*args):
+            out = orig_step_fn(*args)
+            n_calls[0] += 1
+            if n_calls[0] == 3:
+                tB._stop_requested = True  # what the SIGTERM handler sets
+            return out
+
+        tB.step_fn = counting_step
+        tB.train()  # checkpoints at the interruption point
+        assert int(jax.device_get(tB.state.step)) == 3
+
+        # resumed process finishes the run
+        cfgB2 = dataclasses.replace(cfgB, resume="auto")
+        tB2 = Trainer(cfgB2, synthetic=True)
+        assert tB2.start_step == 3
+        tB2.train()
+        assert int(jax.device_get(tB2.state.step)) == stepsA
+
+        pa = jax.tree.leaves(jax.device_get(tA.state.params))
+        pb = jax.tree.leaves(jax.device_get(tB2.state.params))
+        assert len(pa) == len(pb)
+        for a, b in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_sigterm_checkpoints_and_exits(self, tmp_path):
         """SIGTERM mid-epoch: the handler flags a stop, the loop exits at the
         next batch boundary, and train() writes a final checkpoint — so
