@@ -21,3 +21,11 @@ import jax  # noqa: E402
 # forcing the platform through the config still works.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the big jitted programs (train-step scan,
+# fused DS step, Mask R-CNN) dominate suite wall-clock on this 1-core box;
+# cache entries are keyed on platform+HLO so CPU test entries coexist with
+# the TPU CLI entries.
+from mdn_sfm_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -72,6 +72,36 @@ class TestEvaluateMix:
         assert os.path.exists(os.path.join(out, "0.png"))
 
 
+class TestReproduceReadmeTable:
+    def test_runs_end_to_end_on_fixture_world(self, world, capsys):
+        """The one-command README-table reproduction harness
+        (tools/reproduce_readme_table.py) runs against the synthetic fixture
+        world: loads per-mode checkpoints, evaluates, prints the
+        measured-vs-published table. Guards the script against bit-rot until
+        real KITTI data + reference checkpoints are available."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reproduce_readme_table as rrt
+
+        rc = rrt.main(
+            [
+                "--data_root", world.data_root,
+                "--log_dir", world.log_dir,
+                "--gt_mask_path", world.gt_mask_path,
+                "--frozen_folder", world.load_weights_folder,
+                "--height", str(world.height),
+                "--width", str(world.width),
+                "--eval_out_dir", world.eval_out_dir,
+                "--mode_versions", "SN=v1:0", "TG=v1:0",
+                "--eval_num_samples", "2",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "| SN |" in out and "| TG |" in out
+
+
 class TestEvaluateMask:
     def test_writes_viz(self, world):
         from evaluate_mask import evaluate

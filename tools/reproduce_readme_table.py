@@ -58,6 +58,7 @@ def main(argv=None) -> int:
         help="MODE=version:idx per trained checkpoint, e.g. SN=v1:14",
     )
     p.add_argument("--eval_num_samples", type=int, default=200)
+    p.add_argument("--eval_out_dir", default="output")
     args = p.parse_args(argv)
 
     mapping = {}
@@ -83,6 +84,7 @@ def main(argv=None) -> int:
             idx=idx,
             binary_threshold=pub[4],
             eval_num_samples=args.eval_num_samples,
+            eval_out_dir=args.eval_out_dir,
         ).validate()
         cfg = dataclasses.replace(cfg, w_d2_sim=0.05 if mode_name == "DC" else 0.0)
         print(f"\n=== mode {mode_name} (threshold {pub[4]}) ===")
