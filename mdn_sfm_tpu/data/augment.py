@@ -41,16 +41,20 @@ def _rgb_to_gray(x: Array) -> Array:
     )
 
 
-def _color_jitter(colors: Array, rng: Array) -> Array:
+def _color_jitter(colors: Array, sample_keys: Array) -> Array:
     """Brightness/contrast/saturation jitter with the reference's ranges
     (custom_transforms.py:84-87), shared across the 3 frames of a sample like
     torchvision ColorJitter applied per __getitem__ call. Hue is skipped
     (small range, costly RGB↔HSV on device)."""
-    b = colors.shape[0]
-    kb, kc, ks = jax.random.split(rng, 3)
-    brightness = jax.random.uniform(kb, (b, 1, 1, 1, 1), minval=0.9, maxval=1.1)
-    contrast = jax.random.uniform(kc, (b, 1, 1, 1, 1), minval=0.85, maxval=1.15)
-    saturation = jax.random.uniform(ks, (b, 1, 1, 1, 1), minval=0.85, maxval=1.15)
+
+    def draw(tag, lo, hi):
+        return jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, tag), (), minval=lo, maxval=hi)
+        )(sample_keys)[:, None, None, None, None]
+
+    brightness = draw(3, 0.9, 1.1)
+    contrast = draw(4, 0.85, 1.15)
+    saturation = draw(5, 0.85, 1.15)
 
     x = colors * brightness
     mean = jnp.mean(_rgb_to_gray(x), axis=(-3, -2), keepdims=True)
@@ -98,6 +102,7 @@ def augment_batch(
     rng: Array,
     train: bool = True,
     enable_color_jitter: bool = False,
+    sample_offset: Array | int = 0,
 ) -> tuple[dict, dict]:
     """Apply the full augmentation + pyramid pipeline on device.
 
@@ -110,6 +115,11 @@ def augment_batch(
         rng: PRNG key for this step.
         train: apply random flip/zoom-crop (False = eval normalization only).
         enable_color_jitter: real jitter (the reference's is a no-op).
+        sample_offset: global index of this batch's first sample. Every
+            random draw derives from ``fold_in(rng, sample_offset + i)`` —
+            position-stable, so a shard_map'd step processing the batch's
+            [offset, offset+B) slice reproduces exactly the draws the full
+            batch would see on one device (training.make_train_step).
     Returns:
         (colors, inv_Ks, raw0):
           colors: {(frame_id, scale): (B, Hs, Ws, 3) normalized float32}
@@ -123,15 +133,23 @@ def augment_batch(
     K = K.astype(jnp.float32)
 
     if train:
-        k_jit, k_flip, k_scale, k_off = jax.random.split(rng, 4)
+        # Per-sample keys from the sample's GLOBAL batch position — the
+        # stream is invariant to how the batch is split across devices
+        # (see the sample_offset arg doc).
+        sample_keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            sample_offset + jnp.arange(b)
+        )
+
+        def draw(tag, fn):
+            return jax.vmap(lambda k: fn(jax.random.fold_in(k, tag)))(sample_keys)
 
         if enable_color_jitter:
-            x = _color_jitter(x, k_jit)
+            x = _color_jitter(x, sample_keys)
 
         # ---- random horizontal flip (per sample): folded into the x-axis
         # resample below (no extra image pass); cx ← W − cx
         # (custom_transforms.py:39-40)
-        flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        flip = draw(0, lambda k: jax.random.bernoulli(k, 0.5))
         cx = jnp.where(flip, w - K[:, 0, 2], K[:, 0, 2])
         K = K.at[:, 0, 2].set(cx)
 
@@ -139,11 +157,11 @@ def augment_batch(
         # (i, j) samples the (flipped) input at ((j+ox+.5)/sx−.5,
         # (i+oy+.5)/sy−.5) — the fusion of resize-to-(h·sy, w·sx) + crop.
         # The warp is separable, so it runs as two batched matmuls.
-        scale_xy = jax.random.uniform(k_scale, (b, 2), minval=1.0, maxval=1.15)
+        scale_xy = draw(1, lambda k: jax.random.uniform(k, (2,), minval=1.0, maxval=1.15))
         max_off = jnp.stack(
             [w * scale_xy[:, 0] - w, h * scale_xy[:, 1] - h], axis=-1
         )  # (B, 2)
-        offset_xy = jax.random.uniform(k_off, (b, 2)) * max_off
+        offset_xy = draw(2, lambda k: jax.random.uniform(k, (2,))) * max_off
 
         in_x = (jnp.arange(w)[None] + offset_xy[:, 0:1] + 0.5) / scale_xy[:, 0:1] - 0.5
         in_y = (jnp.arange(h)[None] + offset_xy[:, 1:2] + 0.5) / scale_xy[:, 1:2] - 0.5

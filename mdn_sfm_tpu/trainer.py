@@ -187,14 +187,6 @@ class Trainer:
             self.frozen = dict(self.frozen)
             self.frozen["maskrcnn"] = self.mask_provider.variables
 
-        self.step_fn = T.make_train_step(cfg, self.models, self.tx, mask_fn=mask_fn)
-        self.kstep_fn = (
-            T.make_multi_train_step(cfg, self.models, self.tx, mask_fn=mask_fn)
-            if cfg.steps_per_dispatch > 1
-            else None
-        )
-        self.eval_fn = T.make_eval_forward(cfg, self.models)
-
         # data-parallel placement: shrink the data axis to the largest
         # divisor of the batch when the batch doesn't fill every device
         n_dev = cfg.num_data_shards or len(jax.devices())
@@ -206,6 +198,17 @@ class Trainer:
             self.frozen = replicate(self.mesh, self.frozen)
         if n_dev != (cfg.num_data_shards or len(jax.devices())):
             print(f"NOTE: data mesh shrunk to {n_dev} devices (batch {cfg.batch_size})")
+
+        step_mesh = self.mesh if n_dev > 1 else None
+        self.step_fn = T.make_train_step(
+            cfg, self.models, self.tx, mask_fn=mask_fn, mesh=step_mesh
+        )
+        self.kstep_fn = (
+            T.make_multi_train_step(cfg, self.models, self.tx, mask_fn=mask_fn, mesh=step_mesh)
+            if cfg.steps_per_dispatch > 1
+            else None
+        )
+        self.eval_fn = T.make_eval_forward(cfg, self.models)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     # ----------------------------------------------------------- running
@@ -620,7 +623,10 @@ class Trainer:
             # not invalidate self.frozen across grid turns
             frozen = jax.tree.map(jnp.copy, self.frozen)
             mask_fn = self.mask_provider.union_fn if self._fused_masks else None
-            step_fn = T.make_train_step(new_cfg, self.models, tx, mask_fn=mask_fn)
+            step_fn = T.make_train_step(
+                new_cfg, self.models, tx, mask_fn=mask_fn,
+                mesh=self.mesh if self.mesh.size > 1 else None,
+            )
 
             last = None
             for bi, (arrays, idxs) in enumerate(self.train_loader):

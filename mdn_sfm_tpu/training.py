@@ -228,14 +228,30 @@ def loss_from_batch(
     (trainer.py:266-276); here the F reference frames are stacked into ONE
     2B-batch forward — identical math, double the MXU occupancy at the
     small per-chip batch sizes this model trains with.
+
+    Sharding: the frames interleave WITHIN each sample's slot —
+    ``stack(axis=1).reshape(B·F, …)``, sample b's frames at rows
+    [b·F, (b+1)·F) — so a batch sharded over Mesh('data') stays local:
+    each device's shard maps to a contiguous row block and GSPMD partitions
+    the reshape with zero communication. (The obvious
+    ``concatenate(axis=0)`` + static re-slice layout puts sample b's frames
+    B rows apart, which forces an all-to-all of the images into the forward
+    and collective-permutes out of every re-slice — measured 232 collective
+    ops in the 8-device HLO, and a rendezvous-abort on the CPU test mesh.)
     """
     tgt = colors[(0, 0)]
     frame_ids = cfg.ref_frame_ids
     nf = len(frame_ids)
     b = tgt.shape[0]
 
-    tgt_rep = jnp.concatenate([tgt] * nf, axis=0)
-    refs = jnp.concatenate([colors[(i, 0)] for i in frame_ids], axis=0)
+    def _interleave(frames):  # nf × (B, …) → (B·nf, …), frame-minor
+        return jnp.stack(frames, axis=1).reshape((b * nf,) + frames[0].shape[1:])
+
+    def _deinterleave(x, fi):  # (B·nf, …) → (B, …), frame fi
+        return x.reshape((b, nf) + x.shape[1:])[:, fi]
+
+    tgt_rep = _interleave([tgt] * nf)
+    refs = _interleave([colors[(i, 0)] for i in frame_ids])
 
     f_all, m_all, aa, t, cam_all, new_frozen = forward_frame(
         cfg, models, params, frozen, tgt_rep, refs
@@ -243,11 +259,10 @@ def loss_from_batch(
 
     flows, mobiles, cams = {}, {}, {}
     for fi, i in enumerate(frame_ids):
-        sl = slice(fi * b, (fi + 1) * b)
         for s in cfg.scales:
-            flows[(i, s)] = f_all[s][sl]
-            mobiles[(i, s)] = m_all[s][sl]
-        cams[i] = cam_all[sl]
+            flows[(i, s)] = _deinterleave(f_all[s], fi)
+            mobiles[(i, s)] = _deinterleave(m_all[s], fi)
+        cams[i] = _deinterleave(cam_all, fi)
 
     losses, aux = compute_losses(cfg, colors, inv_Ks, flows, mobiles, cams, instance_mask)
     return losses["loss"], (losses, aux, new_frozen)
@@ -279,15 +294,90 @@ def _batch_instance_mask(batch: dict, frozen: dict, mask_fn, raw0: Array) -> Opt
     return instance_mask
 
 
+def _step_body(
+    cfg: Config,
+    models: ModelBundle,
+    tx: optax.GradientTransformation,
+    mask_fn,
+    state: TrainState,
+    frozen: dict,
+    batch: dict,
+    rng: Array,
+    axis: Optional[str],
+) -> tuple[TrainState, dict, dict, LossAux]:
+    """One optimizer step on (the local shard of) a batch.
+
+    ``axis``: None for a single-program step; a mesh axis name when running
+    inside shard_map — per-sample work is then purely local and the ONLY
+    collectives are the explicit pmeans below (grads, scalar losses, BN
+    stats). Augmentation draws use the GLOBAL sample position
+    (axis_index·local_B + i), so the sharded step computes bit-identical
+    per-sample math to the single-device step.
+    """
+    rng = jax.random.fold_in(rng, state.step)
+    local_b = batch["colors_u8"].shape[0]
+    offset = jax.lax.axis_index(axis) * local_b if axis else 0
+    colors, inv_Ks, raw0 = augment_batch(
+        cfg, batch["colors_u8"], batch["K"], rng, train=True, sample_offset=offset
+    )
+    instance_mask = _batch_instance_mask(batch, frozen, mask_fn, raw0)
+
+    def loss_fn(params):
+        return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
+
+    grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
+    if axis is not None:
+        grads = jax.lax.pmean(grads, axis)
+        losses = jax.lax.pmean(losses, axis)
+        if new_frozen is not frozen:  # bn_frozen_eval=False: sync BN stats
+            for name in ("flownet", "posenet"):
+                new_frozen[name]["batch_stats"] = jax.lax.pmean(
+                    new_frozen[name]["batch_stats"], axis
+                )
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    metrics = {k: v for k, v in losses.items()}
+    metrics["grad_norm"] = optax.global_norm(grads)
+    new_state = TrainState(params, opt_state, state.step + 1)
+    return new_state, new_frozen, metrics, aux
+
+
+def _data_specs(mesh):
+    """shard_map specs for (state, frozen, batch, rng) → (state, frozen,
+    metrics, aux): batch and per-sample aux shard their leading axis over the
+    data axis; params/opt/frozen/metrics are replicated (kept exactly
+    replicated by the explicit pmeans in :func:`_step_body`)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return (P(), P(), P(axis), P()), (P(), P(), P(), P(axis)), axis
+
+
 def make_train_step(
-    cfg: Config, models: ModelBundle, tx: optax.GradientTransformation, mask_fn=None
+    cfg: Config,
+    models: ModelBundle,
+    tx: optax.GradientTransformation,
+    mask_fn=None,
+    mesh=None,
 ):
     """Build the jitted train step.
 
     batch: {'colors_u8': (B, F, H, W, 3) uint8, 'K': (B, 4, 4) float32,
             optional 'instance_mask': (B, Hm, Wm) float32}
-    Shard the batch's leading axis over Mesh('data') and replicate
-    state/frozen; XLA SPMD emits the grad all-reduce.
+
+    ``mesh``: a Mesh(('data',)) for multi-device data parallelism. The step
+    is then shard_map'd over it: the batch's leading axis splits across
+    devices, params/frozen stay replicated, and gradients/metrics pmean over
+    the axis — the ONLY collectives in the program are these explicit ones.
+    (Round-3 lesson: jit+GSPMD on the same shardings invents resharding
+    collectives — an all-to-all of the images into the stacked-frame
+    forward, collective-permutes in the decoder backward, top_k all-gathers;
+    232 collective ops total. On the CPU test mesh those rendezvous
+    serialize and can hit XLA's 40 s termination timeout; on a real pod they
+    would ride ICI for nothing. shard_map makes the partitioning manual and
+    the cost model exact — scaling-book recipe.) Callers shard/replicate
+    the operands with parallel.shard_batch/replicate as before.
 
     ``mask_fn(variables, images_u8) -> (B, H, W)`` fuses a live instance-mask
     provider into the step (see :func:`_batch_instance_mask`); its variables
@@ -298,28 +388,28 @@ def make_train_step(
     unchanged; see :func:`forward_frame`).
     """
 
-    def step(
-        state: TrainState, frozen: dict, batch: dict, rng: Array
-    ) -> tuple[TrainState, dict, dict, LossAux]:
-        rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, raw0 = augment_batch(cfg, batch["colors_u8"], batch["K"], rng, train=True)
-        instance_mask = _batch_instance_mask(batch, frozen, mask_fn, raw0)
-
-        def loss_fn(params):
-            return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
-
-        grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        metrics = {k: v for k, v in losses.items()}
-        metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = TrainState(params, opt_state, state.step + 1)
-        return new_state, new_frozen, metrics, aux
-
     # frozen is returned (BN stats may update) — donating lets the unchanged
     # pass-through alias instead of copy; callers must reassign it each call
     donate = (0, 1) if cfg.donate_state else ()
+
+    if mesh is None or mesh.size == 1:
+        def step(state, frozen, batch, rng):
+            return _step_body(cfg, models, tx, mask_fn, state, frozen, batch, rng, None)
+
+        return jax.jit(step, donate_argnums=donate)
+
+    in_specs, out_specs, axis = _data_specs(mesh)
+
+    def local_step(state, frozen, batch, rng):
+        return _step_body(cfg, models, tx, mask_fn, state, frozen, batch, rng, axis)
+
+    # check_vma=False: loop carries that start as constants (e.g. the NMS
+    # fori_loop's alive/keep masks) type as replicated while their outputs
+    # are device-varying, which the static VMA checker rejects; replication
+    # of the P() outputs is guaranteed by the explicit pmeans instead.
+    step = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
     return jax.jit(step, donate_argnums=donate)
 
 
@@ -329,6 +419,7 @@ def make_multi_train_step(
     tx: optax.GradientTransformation,
     unroll: int = 1,
     mask_fn=None,
+    mesh=None,
 ):
     """Build a jitted K-step train function: one device dispatch executes K
     sequential optimizer steps via ``lax.scan``.
@@ -346,47 +437,53 @@ def make_multi_train_step(
     when ``bn_frozen_eval=False``.
     """
 
-    def one_step(carry, batch_k):
-        state, frozen, rng, _last_aux = carry
-        step_rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, raw0 = augment_batch(
-            cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
-        )
-        instance_mask = _batch_instance_mask(batch_k, frozen, mask_fn, raw0)
+    def _make_k_steps(axis: Optional[str]):
+        def one_step(carry, batch_k):
+            state, frozen, rng, _last_aux = carry
+            new_state, new_frozen, metrics, aux = _step_body(
+                cfg, models, tx, mask_fn, state, frozen, batch_k, rng, axis
+            )
+            return (new_state, new_frozen, rng, aux), metrics
 
-        def loss_fn(params):
-            return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
+        def _aux_only(state, frozen, batch_k, rng):
+            """Trace-only twin of one_step's loss pass, used to shape the aux
+            carry slot via jax.eval_shape (no compilation, no FLOPs)."""
+            step_rng = jax.random.fold_in(rng, state.step)
+            colors, inv_Ks, raw0 = augment_batch(
+                cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
+            )
+            _, (_, aux, _) = loss_from_batch(
+                cfg, models, state.params, frozen, colors, inv_Ks,
+                _batch_instance_mask(batch_k, frozen, mask_fn, raw0),
+            )
+            return aux
 
-        grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(losses)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return (TrainState(params, opt_state, state.step + 1), new_frozen, rng, aux), metrics
+        def k_steps(state: TrainState, frozen: dict, batches: dict, rng: Array):
+            batch0 = jax.tree.map(lambda x: x[0], batches)
+            aux_shapes = jax.eval_shape(_aux_only, state, frozen, batch0, rng)
+            aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+            (state, frozen, _, aux), metrics = jax.lax.scan(
+                one_step, (state, frozen, rng, aux0), batches, unroll=unroll
+            )
+            return state, frozen, jax.tree.map(jnp.mean, metrics), aux
 
-    def _aux_only(state, frozen, batch_k, rng):
-        """Trace-only twin of one_step's loss pass, used to shape the aux
-        carry slot via jax.eval_shape (no compilation, no FLOPs)."""
-        step_rng = jax.random.fold_in(rng, state.step)
-        colors, inv_Ks, raw0 = augment_batch(
-            cfg, batch_k["colors_u8"], batch_k["K"], step_rng, train=True
-        )
-        _, (_, aux, _) = loss_from_batch(
-            cfg, models, state.params, frozen, colors, inv_Ks,
-            _batch_instance_mask(batch_k, frozen, mask_fn, raw0),
-        )
-        return aux
-
-    def k_steps(state: TrainState, frozen: dict, batches: dict, rng: Array):
-        batch0 = jax.tree.map(lambda x: x[0], batches)
-        aux_shapes = jax.eval_shape(_aux_only, state, frozen, batch0, rng)
-        aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
-        (state, frozen, _, aux), metrics = jax.lax.scan(
-            one_step, (state, frozen, rng, aux0), batches, unroll=unroll
-        )
-        return state, frozen, jax.tree.map(jnp.mean, metrics), aux
+        return k_steps
 
     donate = (0, 1) if cfg.donate_state else ()
+    if mesh is None or mesh.size == 1:
+        return jax.jit(_make_k_steps(None), donate_argnums=donate)
+
+    from jax.sharding import PartitionSpec as P
+
+    _, out_specs, axis = _data_specs(mesh)
+    # batches carry a leading K axis; the batch axis is second
+    k_steps = jax.shard_map(
+        _make_k_steps(axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P()),
+        out_specs=out_specs,
+        check_vma=False,  # see make_train_step
+    )
     return jax.jit(k_steps, donate_argnums=donate)
 
 

@@ -72,6 +72,22 @@ class TestEvaluateMix:
         assert os.path.exists(os.path.join(out, "0.png"))
 
 
+class TestBatchedEvalEquivalence:
+    def test_batched_dispatch_matches_per_sample(self, world):
+        """evaluate_mix with eval_batch_size=8 (one padded dispatch) must
+        produce the same metric rows as eval_batch_size=1 (per-sample
+        dispatches) — the batching is a throughput change only (PARITY.md
+        round-3 #3)."""
+        import dataclasses
+
+        from evaluate_mix import evaluate
+
+        r_batched = evaluate(world)  # default eval_batch_size=8, n=2 → padded
+        r_single = evaluate(dataclasses.replace(world, eval_batch_size=1))
+        assert r_batched.shape == r_single.shape
+        np.testing.assert_allclose(r_single, r_batched, atol=1e-6)
+
+
 class TestReproduceReadmeTable:
     def test_runs_end_to_end_on_fixture_world(self, world, capsys):
         """The one-command README-table reproduction harness

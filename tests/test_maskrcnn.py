@@ -536,7 +536,8 @@ class TestFusedProviderStep:
         _, _, m_single, _ = step(state, frozen, batch, rng)
 
         mesh = make_mesh(8)
-        _, _, m_shard, _ = step(
+        step_dp = T.make_train_step(cfg, models, tx, mask_fn=prov.union_fn, mesh=mesh)
+        _, _, m_shard, _ = step_dp(
             replicate(mesh, state), replicate(mesh, frozen), shard_batch(mesh, batch), rng
         )
         assert float(m_shard["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)

@@ -232,9 +232,9 @@ class TestLrSchedule:
 
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self, setup):
-        """The pjit-style sharded step produces the same loss as the
-        replicated single-device run (batch math is identical; grads
-        all-reduce over the mesh)."""
+        """The shard_map'd step produces the same loss as the single-device
+        run: per-sample math is identical (position-stable augment RNG) and
+        grads pmean over the mesh."""
         cfg, models, variables = setup
         devices = jax.devices()
         assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
@@ -250,10 +250,11 @@ class TestDataParallel:
 
         # 8-way data parallel
         mesh = make_mesh(8)
+        step_dp = T.make_train_step(cfg8, models, tx, mesh=mesh)
         state_r = replicate(mesh, state)
         frozen_r = replicate(mesh, frozen)
         batch_s = shard_batch(mesh, batch)
-        _, _, m_sharded, _ = step(state_r, frozen_r, batch_s, jax.random.PRNGKey(3))
+        _, _, m_sharded, _ = step_dp(state_r, frozen_r, batch_s, jax.random.PRNGKey(3))
 
         assert float(m_sharded["loss"]) == pytest.approx(float(m_single["loss"]), rel=1e-4)
 

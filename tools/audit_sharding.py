@@ -8,15 +8,22 @@ memory analysis. This is the ground truth for the framework's scaling story
 collectives" (SURVEY.md §5; no reference analog: the reference is single
 process, single GPU, no distributed backend at all — trainer.py:35).
 
-Expected shape of the result: a gradient all-reduce family totalling ≈ the
-trainable-parameter bytes (the mobile decoder, plus flow/pose when
---fine_tune), plus SMALL activation reshards — collective-permutes and a
-few all-to-alls — from the 2B frame stack/unstack (loss_from_batch
-concatenates target+reference frames along the sharded batch axis and
-slices the results back per frame — a deliberate MXU-occupancy trade,
-training.py:216-253; measured ~0.5 MB total vs a 23.6 MB grad all-reduce
-even at 32×64 toy shapes). A LARGE all-gather/reduce-scatter/all-to-all in
-a pure-DP step is a sharding regression.
+Expected shape of the result (the shard_map production path,
+training.make_train_step(mesh=...)): a gradient all-reduce family
+totalling ≈ the trainable-parameter bytes (the mobile decoder, plus
+flow/pose when --fine_tune) plus the scalar loss-metric pmeans — and
+NOTHING else. Every collective is one the step wrote explicitly; any
+all-to-all / collective-permute / all-gather here is a regression.
+
+--gspmd audits the legacy jit+GSPMD path instead (make_train_step without
+a mesh, operands sharded). Round-3 finding: the partitioner invents
+resharding collectives there — an all-to-all of the images into the
+2B frame-stack forward before the interleaved layout fix, decoder-backward
+collective-permutes, RPN top_k all-gathers (232 collective ops with the DS
+provider fused; still ~85 after the layout fix). On the 1-core CPU test
+mesh those rendezvous serialize and can trip XLA's 40 s collective
+termination timeout (process abort); on a real pod they'd burn ICI for
+nothing. That is WHY the production path is shard_map.
 
 Runs anywhere: real chips or a virtual CPU mesh (default; no TPU needed).
 
@@ -89,7 +96,8 @@ def collect_collectives(hlo_text: str) -> dict[str, dict]:
 
 
 def audit(n: int, mode_name: str, height: int, width: int, batch: int,
-          fine_tune: bool, provider: str, verbose: bool = True) -> dict:
+          fine_tune: bool, provider: str, verbose: bool = True,
+          gspmd: bool = False) -> dict:
     """Compile the sharded step and return
     {'collectives': {...}, 'param_bytes': N, 'memory': {...}}."""
     import jax
@@ -129,9 +137,11 @@ def audit(n: int, mode_name: str, height: int, width: int, batch: int,
         frozen = dict(frozen)
         frozen["maskrcnn"] = prov.variables
         mask_fn = prov.union_fn
-    step = T.make_train_step(cfg, models, tx, mask_fn=mask_fn)
 
     mesh = make_mesh(n)
+    step = T.make_train_step(
+        cfg, models, tx, mask_fn=mask_fn, mesh=None if gspmd else mesh
+    )
     state = replicate(mesh, state)
     frozen = replicate(mesh, frozen)
     colors, K = synthetic_batch(batch, height, width, seed=0)
@@ -160,7 +170,8 @@ def audit(n: int, mode_name: str, height: int, width: int, batch: int,
     if verbose:
         print(f"mesh: {n}×'data' | mode {mode_name} | {height}×{width} bs{batch}"
               f"{' fine_tune' if fine_tune else ''}"
-              f"{' +maskrcnn' if provider == 'maskrcnn' else ''}")
+              f"{' +maskrcnn' if provider == 'maskrcnn' else ''}"
+              f" | {'jit+GSPMD (legacy)' if gspmd else 'shard_map'}")
         print(f"trainable params: {param_bytes / 1e6:.2f} MB")
         if not stats:
             print("NO collectives emitted — the step is not actually sharded!")
@@ -185,6 +196,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=0, help="global batch (default n)")
     p.add_argument("--fine_tune", action="store_true")
     p.add_argument("--provider", default="none")
+    p.add_argument("--gspmd", action="store_true",
+                   help="audit the legacy jit+GSPMD path instead of shard_map")
     args = p.parse_args()
 
     # virtual CPU mesh when real chips can't provide n devices (same lever
@@ -198,7 +211,7 @@ def main() -> None:
     except Exception:
         pass
     audit(args.n, args.mode, args.height, args.width, args.batch or args.n,
-          args.fine_tune, args.provider)
+          args.fine_tune, args.provider, gspmd=args.gspmd)
 
 
 if __name__ == "__main__":
