@@ -4,6 +4,13 @@ datasets/mono_dataset.py:27-127).
 Host responsibilities are deliberately minimal: decode the 3-frame triplet,
 resize to base resolution, read/rescale per-drive intrinsics. All
 augmentation happens on device (:mod:`mdn_sfm_tpu.data.augment`).
+
+The decode+resize runs through the native C++ pipeline
+(:mod:`mdn_sfm_tpu.native` imgio: fused libpng/libjpeg decode + separable
+bilinear resize, one call per triplet) when the codec libraries are
+available, falling back to PIL+cv2 otherwise. PNG/JPEG decode is bit-exact
+vs PIL; the resize agrees with cv2.resize(INTER_LINEAR) within ±1 u8 LSB
+(cv2 runs 11-bit fixed point) — tests/test_native.py bounds both.
 """
 
 from __future__ import annotations
@@ -70,6 +77,7 @@ class KittiRawDataset:
         width: int,
         frame_ids: tuple[int, ...] = (0, -1, 1),
         img_ext: str = ".png",
+        use_native: bool | None = None,
     ):
         self.data_path = data_path
         self.lines = lines
@@ -77,6 +85,11 @@ class KittiRawDataset:
         self.width = width
         self.frame_ids = frame_ids
         self.img_ext = img_ext
+        if use_native is None:
+            from .. import native
+
+            use_native = native.imgio_available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.lines)
@@ -99,10 +112,27 @@ class KittiRawDataset:
 
     def __getitem__(self, index: int) -> tuple[np.ndarray, np.ndarray]:
         line = self.lines[index]
+        paths = [
+            self.image_path(line.folder, line.frame_index + i, line.side)
+            for i in self.frame_ids
+        ]
+        if self.use_native:
+            from .. import native
+
+            # one fused decode+resize call for the whole triplet; item-level
+            # parallelism comes from the HostLoader worker threads
+            frames, dims = native.decode_resize_batch(
+                paths, self.height, self.width, n_threads=1
+            )
+            i0 = self.frame_ids.index(0)
+            w0, h0 = int(dims[i0, 0]), int(dims[i0, 1])
+            K = self.intrinsics(line.folder, line.side, w0, h0)
+            return frames, K
+
         frames = []
         K = None
-        for i in self.frame_ids:
-            img = _imread_rgb(self.image_path(line.folder, line.frame_index + i, line.side))
+        for pos, i in enumerate(self.frame_ids):
+            img = _imread_rgb(paths[pos])
             if i == 0:
                 h0, w0 = img.shape[:2]
                 K = self.intrinsics(line.folder, line.side, w0, h0)

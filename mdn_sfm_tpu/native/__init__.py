@@ -22,12 +22,18 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-def _build() -> None:
+def _build(src: str, so: str, extra: list[str] | None = None) -> None:
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so]
+        + (extra or []),
         check=True,
         capture_output=True,
     )
+
+
+def _ensure_built(src: str, so: str, extra: list[str] | None = None) -> None:
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        _build(src, so, extra)
 
 
 def lib() -> ctypes.CDLL:
@@ -36,8 +42,7 @@ def lib() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            _build()
+        _ensure_built(_SRC, _SO)
         L = ctypes.CDLL(_SO)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -135,6 +140,113 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float, max_keep: i
         keep.ctypes.data_as(ct.POINTER(ct.c_int64)),
     )
     return keep[:kept].copy()
+
+
+# --------------------------------------------------------------- image IO
+# Fused PNG/JPEG decode + bilinear resize (imgio.cpp) — the native
+# replacement for the reference's PIL-decode + cv2-resize host path
+# (mono_dataset.py:14-19, :103). Linked against the system libjpeg/libpng;
+# gated: imgio_available() is False (and callers fall back to PIL/cv2) when
+# the codec libraries are missing.
+
+_IMGIO_SO = os.path.join(_HERE, "libimgio.so")
+_IMGIO_SRC = os.path.join(_HERE, "imgio.cpp")
+_IMGIO_LOCK = threading.Lock()
+_IMGIO: "ctypes.CDLL | None | bool" = None  # None=untried, False=unavailable
+
+
+def _imgio() -> "ctypes.CDLL | bool":
+    global _IMGIO
+    with _IMGIO_LOCK:
+        if _IMGIO is not None:
+            return _IMGIO
+        try:
+            _ensure_built(_IMGIO_SRC, _IMGIO_SO, ["-ljpeg", "-lpng"])
+            L = ctypes.CDLL(_IMGIO_SO)
+        except (OSError, subprocess.CalledProcessError):
+            _IMGIO = False
+            return False
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        L.img_decode_resize.restype = ctypes.c_int32
+        L.img_decode_resize.argtypes = [
+            ctypes.c_char_p, u8p, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ]
+        L.img_decode_resize_batch.restype = ctypes.c_int32
+        L.img_decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, u8p,
+            ctypes.c_int64, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+        ]
+        L.img_resize_bilinear.restype = None
+        L.img_resize_bilinear.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        _IMGIO = L
+        return L
+
+
+def imgio_available() -> bool:
+    """True if the native decode library built and loaded."""
+    return _imgio() is not False
+
+
+def decode_resize(path: str, height: int, width: int) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a PNG/JPEG and bilinear-resize to (height, width) RGB u8.
+
+    Returns (image (H, W, 3) u8, (src_w, src_h)). Raises FileNotFoundError /
+    ValueError on unreadable or non-PNG/JPEG input.
+    """
+    L = _imgio()
+    assert L is not False, "native imgio unavailable; check imgio_available()"
+    out = np.empty((height, width, 3), np.uint8)
+    sw = ctypes.c_int32(0)
+    sh = ctypes.c_int32(0)
+    rc = L.img_decode_resize(
+        path.encode(), _u8(out), height, width, ctypes.byref(sw), ctypes.byref(sh)
+    )
+    if rc == 1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise ValueError(f"decode failed for {path} (code {rc})")
+    return out, (int(sw.value), int(sh.value))
+
+
+def decode_resize_batch(
+    paths: list[str], height: int, width: int, n_threads: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode+resize → ((N, H, W, 3) u8, (N, 2) src (w, h)).
+
+    Raises on the first failed file (all-or-nothing, like a loader worker).
+    """
+    L = _imgio()
+    assert L is not False, "native imgio unavailable; check imgio_available()"
+    n = len(paths)
+    out = np.empty((n, height, width, 3), np.uint8)
+    dims = np.zeros((n, 2), np.int32)
+    errs = np.zeros(n, np.int32)
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fails = L.img_decode_resize_batch(
+        cpaths, n, _u8(out.reshape(-1)), height, width,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads,
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if fails:
+        bad = int(np.flatnonzero(errs)[0])
+        if errs[bad] == 1:
+            raise FileNotFoundError(paths[bad])
+        raise ValueError(f"decode failed for {paths[bad]} (code {int(errs[bad])})")
+    return out, dims
+
+
+def resize_bilinear_u8(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Native separable bilinear resize of an (H, W, 3) u8 image."""
+    L = _imgio()
+    assert L is not False, "native imgio unavailable; check imgio_available()"
+    img = np.ascontiguousarray(img, np.uint8)
+    sh, sw = img.shape[:2]
+    out = np.empty((height, width, 3), np.uint8)
+    L.img_resize_bilinear(_u8(img.reshape(-1)), sh, sw, _u8(out.reshape(-1)), height, width)
+    return out
 
 
 def mask_union(masks: np.ndarray) -> np.ndarray:
