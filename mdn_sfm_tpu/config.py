@@ -185,6 +185,12 @@ class Config:
     # (The reference calls set_train() on frozen models too, so their BN uses
     #  batch stats during training — trainer.py:201-205,226. Set False to mimic.)
     donate_state: bool = True
+    remat: bool = False               # rematerialize the stacked-frame forward
+    # (jax.checkpoint): backward recomputes the flow/pose/mobile forward
+    # instead of keeping its activations in HBM — trades ~1 extra forward of
+    # FLOPs for activation memory, raising the max per-chip batch (the
+    # gradient math is identical; tested bitwise). Worth it only when HBM-
+    # bound: large batch/resolution or fine_tune_flow_motion.
     resume: str = ""                  # "auto" = continue v_save from its latest
     # weights_{idx} (params + Adam + step) — preemption-safe restart for
     # production runs. The reference can only resume via manual
@@ -244,7 +250,7 @@ _BOOL_FLAGS_TRAIN = [
     # action="store_true" flags from options.py
     "fine_tune_flow_motion", "no_ssim", "disable_photoloss", "disable_consisloss",
     "disable_min", "disable_smoothloss", "load_adam", "legacy_lr_schedule",
-    "skip_nonfinite_updates",
+    "skip_nonfinite_updates", "remat",
 ]
 
 _BOOL_FLAGS_EVAL = [
@@ -287,7 +293,7 @@ _TRAIN_FIELDS = [
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "d2_infer_scale", "d2_fuse_step", "d2_allow_random_weights",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
-    "steps_per_dispatch",
+    "steps_per_dispatch", "remat",
 ]
 
 _EVAL_FIELDS = [

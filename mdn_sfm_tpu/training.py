@@ -253,9 +253,28 @@ def loss_from_batch(
     tgt_rep = _interleave([tgt] * nf)
     refs = _interleave([colors[(i, 0)] for i in frame_ids])
 
-    f_all, m_all, aa, t, cam_all, new_frozen = forward_frame(
-        cfg, models, params, frozen, tgt_rep, refs
-    )
+    if cfg.remat:
+        # jax.checkpoint: keep only this call's inputs/outputs for backward
+        # and replay the flow/pose/mobile forward during it — activation HBM
+        # for one extra forward of FLOPs (same math; grads are bitwise
+        # identical, tested). With bn_frozen_eval the pass-through frozen
+        # tree stays OUT of the checkpoint so `new_frozen is frozen` holds
+        # (the BN-sync and donation-alias paths key on that identity).
+        if cfg.bn_frozen_eval:
+            @jax.checkpoint
+            def _fwd(params, frozen, tgt_rep, refs):
+                return forward_frame(cfg, models, params, frozen, tgt_rep, refs)[:5]
+
+            f_all, m_all, aa, t, cam_all = _fwd(params, frozen, tgt_rep, refs)
+            new_frozen = frozen
+        else:
+            f_all, m_all, aa, t, cam_all, new_frozen = jax.checkpoint(
+                lambda p, fr, a, b: forward_frame(cfg, models, p, fr, a, b)
+            )(params, frozen, tgt_rep, refs)
+    else:
+        f_all, m_all, aa, t, cam_all, new_frozen = forward_frame(
+            cfg, models, params, frozen, tgt_rep, refs
+        )
 
     flows, mobiles, cams = {}, {}, {}
     for fi, i in enumerate(frame_ids):
