@@ -191,6 +191,15 @@ class Config:
     # FLOPs for activation memory, raising the max per-chip batch (the
     # gradient math is identical; tested bitwise). Worth it only when HBM-
     # bound: large batch/resolution or fine_tune_flow_motion.
+    accum_steps: int = 1              # microbatch gradient accumulation: split
+    # the per-device batch into A microbatches, lax.scan the forward/backward
+    # over them accumulating gradients, apply ONE optimizer update on the
+    # average. Only one microbatch's activations are live at a time, so peak
+    # HBM drops ~A× on the activation side — the lever (with --remat) for
+    # effective batches past per-chip HBM. Per-sample augmentation draws are
+    # position-stable, so the loss/grad math equals the full-batch step up to
+    # f32 summation order (tested: loss rel ≤1e-6, post-Adam params ≤2e-5).
+    # Per-device batch must divide by A.
     resume: str = ""                  # "auto" = continue v_save from its latest
     # weights_{idx} (params + Adam + step) — preemption-safe restart for
     # production runs. The reference can only resume via manual
@@ -217,6 +226,7 @@ class Config:
         assert self.width % 32 == 0, "'width' must be a multiple of 32"
         assert self.frame_ids[0] == 0, "frame_ids must start with 0"
         assert self.mode in Mode
+        assert self.accum_steps >= 1, "'accum_steps' must be >= 1"
         return self
 
     def to_json(self) -> str:
@@ -293,7 +303,7 @@ _TRAIN_FIELDS = [
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",
     "d2_infer_scale", "d2_fuse_step", "d2_allow_random_weights",
     "compute_dtype", "num_data_shards", "bn_frozen_eval", "profile_dir",
-    "steps_per_dispatch", "remat",
+    "steps_per_dispatch", "remat", "accum_steps",
 ]
 
 _EVAL_FIELDS = [

@@ -313,6 +313,29 @@ def _batch_instance_mask(batch: dict, frozen: dict, mask_fn, raw0: Array) -> Opt
     return instance_mask
 
 
+def _microbatch_grads(
+    cfg: Config,
+    models: ModelBundle,
+    mask_fn,
+    params: dict,
+    frozen: dict,
+    batch: dict,
+    rng: Array,
+    sample_offset,
+):
+    """Augment + forward + backward on one (micro)batch. Returns
+    (grads, (losses, aux, new_frozen))."""
+    colors, inv_Ks, raw0 = augment_batch(
+        cfg, batch["colors_u8"], batch["K"], rng, train=True, sample_offset=sample_offset
+    )
+    instance_mask = _batch_instance_mask(batch, frozen, mask_fn, raw0)
+
+    def loss_fn(p):
+        return loss_from_batch(cfg, models, p, frozen, colors, inv_Ks, instance_mask)
+
+    return jax.grad(loss_fn, has_aux=True)(params)
+
+
 def _step_body(
     cfg: Config,
     models: ModelBundle,
@@ -332,19 +355,62 @@ def _step_body(
     stats). Augmentation draws use the GLOBAL sample position
     (axis_index·local_B + i), so the sharded step computes bit-identical
     per-sample math to the single-device step.
+
+    ``cfg.accum_steps`` > 1 scans the forward/backward over that many
+    microbatches of the local shard, accumulating gradients, and applies ONE
+    optimizer update on the average — only one microbatch's activations are
+    live at a time, so peak activation HBM drops ~A×. Every loss term is a
+    per-sample mean, so the averaged gradient equals the full-batch gradient
+    up to f32 summation order; augmentation offsets stay position-stable, so
+    each sample sees identical draws either way. With
+    ``bn_frozen_eval=False`` the frozen BN running stats update once per
+    microbatch, sequentially (batch statistics — which is what train-mode BN
+    normalizes with — are then per-microbatch, a documented deviation like
+    the 2B stacking one in :func:`forward_frame`).
     """
     rng = jax.random.fold_in(rng, state.step)
     local_b = batch["colors_u8"].shape[0]
     offset = jax.lax.axis_index(axis) * local_b if axis else 0
-    colors, inv_Ks, raw0 = augment_batch(
-        cfg, batch["colors_u8"], batch["K"], rng, train=True, sample_offset=offset
-    )
-    instance_mask = _batch_instance_mask(batch, frozen, mask_fn, raw0)
+    n_micro = cfg.accum_steps
 
-    def loss_fn(params):
-        return loss_from_batch(cfg, models, params, frozen, colors, inv_Ks, instance_mask)
+    if n_micro <= 1:
+        grads, (losses, aux, new_frozen) = _microbatch_grads(
+            cfg, models, mask_fn, state.params, frozen, batch, rng, offset
+        )
+    else:
+        assert local_b % n_micro == 0, (
+            f"per-device batch {local_b} must divide by accum_steps {n_micro}"
+        )
+        mb = local_b // n_micro
+        micro = jax.tree.map(
+            lambda x: x.reshape((n_micro, mb) + x.shape[1:]), batch
+        )
+        bn_train = not cfg.bn_frozen_eval
 
-    grads, (losses, aux, new_frozen) = jax.grad(loss_fn, has_aux=True)(state.params)
+        def scan_body(carry, xs):
+            g_acc, fro = carry
+            mbatch, a = xs
+            grads, (losses, aux, new_fro) = _microbatch_grads(
+                cfg, models, mask_fn, state.params, fro, mbatch, rng, offset + a * mb
+            )
+            if not bn_train:
+                new_fro = fro  # pass the carry through untouched
+            return (jax.tree.map(jnp.add, g_acc, grads), new_fro), (losses, aux)
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        (g_sum, fro_end), (losses_a, aux_a) = jax.lax.scan(
+            scan_body, (g0, frozen), (micro, jnp.arange(n_micro))
+        )
+        grads = jax.tree.map(lambda g: g / n_micro, g_sum)
+        losses = jax.tree.map(jnp.mean, losses_a)
+        # microbatch auxes restack to the full local batch, so logging and
+        # the P(axis) out_spec see the same shapes as the plain step
+        aux = jax.tree.map(
+            lambda x: x.reshape((local_b,) + x.shape[2:]), aux_a
+        )
+        # keep python identity in the eval-BN regime: the pmean sync and the
+        # donation alias below key on `new_frozen is frozen`
+        new_frozen = fro_end if bn_train else frozen
     if axis is not None:
         grads = jax.lax.pmean(grads, axis)
         losses = jax.lax.pmean(losses, axis)

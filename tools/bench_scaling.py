@@ -59,7 +59,8 @@ def _memory_analysis(compiled):
 
 
 def run_one(mode_name: str, bs: int, remat: bool, fine_tune: bool,
-            height: int, width: int, k_steps: int, rounds: int) -> dict:
+            height: int, width: int, k_steps: int, rounds: int,
+            accum: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +75,7 @@ def run_one(mode_name: str, bs: int, remat: bool, fine_tune: bool,
                      d2_max_instances=32)
     cfg = Config(
         height=height, width=width, batch_size=bs, mode=mode, threshold=9.22,
-        w_d2_sim=0.0, compute_dtype="bfloat16", remat=remat,
+        w_d2_sim=0.0, compute_dtype="bfloat16", remat=remat, accum_steps=accum,
         fine_tune_flow_motion=fine_tune, **extra,
     ).validate()
 
@@ -116,7 +117,8 @@ def run_one(mode_name: str, bs: int, remat: bool, fine_tune: bool,
 
     fps = bs * k_steps * rounds / dt
     row = {
-        "mode": mode_name, "bs": bs, "remat": remat, "fine_tune": fine_tune,
+        "mode": mode_name, "bs": bs, "remat": remat, "accum": accum,
+        "fine_tune": fine_tune,
         "frames_per_s": round(fps, 1),
         "ms_per_step": round(1e3 * dt / (k_steps * rounds), 2),
     }
@@ -135,6 +137,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--bs", default="4,8,16,32")
     p.add_argument("--remat", default="off", help="comma list of off/on")
+    p.add_argument("--accum", default="1", help="comma list of accum_steps")
     p.add_argument("--mode", default="TG")
     p.add_argument("--fine_tune", action="store_true")
     p.add_argument("--height", type=int, default=192)
@@ -145,29 +148,33 @@ def main() -> None:
 
     bss = [int(b) for b in args.bs.split(",")]
     remats = [r.strip() == "on" for r in args.remat.split(",")]
+    accums = [int(a) for a in args.accum.split(",")]
 
     rows = []
     for bs in bss:
         for remat in remats:
-            try:
-                row = run_one(args.mode, bs, remat, args.fine_tune,
-                              args.height, args.width, args.k, args.rounds)
-            except Exception as e:  # OOM at some batch size is a data point
-                row = {"mode": args.mode, "bs": bs, "remat": remat,
-                       "fine_tune": args.fine_tune,
-                       "error": f"{type(e).__name__}: {str(e)[:200]}"}
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+            for accum in accums:
+                try:
+                    row = run_one(args.mode, bs, remat, args.fine_tune,
+                                  args.height, args.width, args.k, args.rounds,
+                                  accum=accum)
+                except Exception as e:  # OOM at some batch size is a data point
+                    row = {"mode": args.mode, "bs": bs, "remat": remat,
+                           "accum": accum, "fine_tune": args.fine_tune,
+                           "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
 
     print(f"\n{args.mode} {args.height}x{args.width} K={args.k}"
           f"{' fine_tune' if args.fine_tune else ''}")
-    print(f"{'bs':>4} {'remat':>6} {'f/s':>8} {'ms/step':>8} "
+    print(f"{'bs':>4} {'remat':>6} {'accum':>6} {'f/s':>8} {'ms/step':>8} "
           f"{'HBM temp':>10} {'HBM args':>10}")
     for r in rows:
         if "error" in r:
-            print(f"{r['bs']:>4} {str(r['remat']):>6}  {r['error']}")
+            print(f"{r['bs']:>4} {str(r['remat']):>6} {r.get('accum', 1):>6}  {r['error']}")
         else:
-            print(f"{r['bs']:>4} {str(r['remat']):>6} {r['frames_per_s']:>8} "
+            print(f"{r['bs']:>4} {str(r['remat']):>6} {r.get('accum', 1):>6} "
+                  f"{r['frames_per_s']:>8} "
                   f"{r['ms_per_step']:>8} {_fmt_bytes(r.get('hbm_temp')):>10} "
                   f"{_fmt_bytes(r.get('hbm_args')):>10}")
 
