@@ -87,3 +87,15 @@ def kitti_decode8(instance_id: int) -> int:
     if train_id in (0, 1, 7, 8, 255):
         return 255
     return train_id - 1 if train_id < 7 else train_id - 3
+
+
+def cityscapes_pm_decode(instance_id: int) -> int:
+    """Cityscapes gtFine instanceIds value → trainId. Cityscapes encodes
+    instances of class c as ``c * 1000 + n``; pure-semantic (stuff) pixels
+    store the class id directly, i.e. values < 1000 (reference:
+    detectron2CustomDataset.py:212-223, including the 0/255 passthrough)."""
+    instance_id = int(instance_id)
+    if instance_id in (0, 255):
+        return instance_id
+    label = ID2LABEL.get(instance_id if instance_id < 1000 else instance_id // 1000)
+    return label.trainId if label is not None else 255

@@ -14,7 +14,13 @@ from typing import Callable
 
 import numpy as np
 
-from ..labels import THING_CLASSES_8, THING_CLASSES_11, kitti_decode, kitti_decode8
+from ..labels import (
+    THING_CLASSES_8,
+    THING_CLASSES_11,
+    cityscapes_pm_decode,
+    kitti_decode,
+    kitti_decode8,
+)
 from ..native import mask_bbox, rle_encode
 
 
@@ -87,8 +93,44 @@ def kitti_seg_instance(
     return create_dataset_dict(inst, imgs, decoder)
 
 
+def cityscapes_pm_seg_instance(
+    dataset_dir: str,
+    train: bool = True,
+    decoder: Callable[[int], int] = cityscapes_pm_decode,
+) -> list[dict]:
+    """Cityscapes gtFine instanceIds → annotation dicts (reference:
+    detectron2CustomDataset.py:175-209). Walks the standard Cityscapes tree:
+    ``gtFine/{split}/{city}/*_gtFine_instanceIds.png`` paired with
+    ``leftImg8bit/{split}/{city}/*_leftImg8bit.png``, sorted."""
+    import glob
+
+    sub = "train" if train else "val"
+    inst = sorted(
+        glob.glob(
+            os.path.join(dataset_dir, "gtFine", sub, "*", "*_gtFine_instanceIds.png")
+        )
+    )
+    imgs = sorted(
+        glob.glob(
+            os.path.join(dataset_dir, "leftImg8bit", sub, "*", "*_leftImg8bit.png")
+        )
+    )
+    return create_dataset_dict(inst, imgs, decoder)
+
+
 DATASET_VARIANTS = {
-    # name → (decoder, thing classes) (reference: :131-169)
-    "kitti_seg_instance": (kitti_decode, THING_CLASSES_11),
-    "kitti_seg_instance8": (kitti_decode8, THING_CLASSES_8),
+    # name → (walker, decoder, thing classes) (reference: :131-169, :226-237).
+    # Quirk preserved: the reference's create_cityscapes_pm_dataset registers
+    # lambdas that call the KITTI walker with the cityscapes_pm decoder
+    # (detectron2CustomDataset.py:228-229) — the cityscapes_pm_seg_instance
+    # walker above exists but is never wired into the catalog. We register
+    # the same (KITTI-walker) pairing under the reference's catalog name and
+    # expose the unused walker separately.
+    "kitti_seg_instance": (kitti_seg_instance, kitti_decode, THING_CLASSES_11),
+    "kitti_seg_instance8": (kitti_seg_instance, kitti_decode8, THING_CLASSES_8),
+    "cityscapes_pm_instance": (
+        kitti_seg_instance,
+        cityscapes_pm_decode,
+        THING_CLASSES_11,
+    ),
 }
