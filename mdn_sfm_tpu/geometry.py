@@ -33,7 +33,14 @@ def rot_from_axisangle(vec: Array) -> Array:
     of its 4×4 output).
     """
     vec = vec.astype(jnp.float32)
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)  # (B, 1)
+    # Gradient-safe angle: the naive norm's gradient at vec = 0 is 0/0 = NaN
+    # (torch has the same hole, but the reference never trains pose, so it
+    # never bites there; with fine_tune_flow_motion a head emitting an exact
+    # zero would poison EVERY parameter through global grad-clipping).
+    # sqrt(Σv² + 1e-14) keeps the f32 forward bitwise identical at 0
+    # (cos(1e-7) rounds to 1.0f, sin(1e-7)·axis = 0) and within one ulp
+    # elsewhere, with a finite (zero) gradient at the origin.
+    angle = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True) + 1e-14)  # (B, 1)
     axis = vec / (angle + 1e-7)
 
     ca = jnp.cos(angle)[..., None]  # (B, 1, 1)

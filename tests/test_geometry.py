@@ -52,6 +52,21 @@ class TestRotations:
         np.testing.assert_allclose(R @ R.transpose(0, 2, 1), eye, atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(R), np.ones(8), atol=1e-5)
 
+    def test_grad_finite_at_zero(self):
+        """The naive ‖vec‖ has a 0/0 gradient at vec = 0 — with a trainable
+        pose head that emits an exact zero (zero-init bias, relu dead zone),
+        that NaN reaches EVERY parameter via global grad-clipping. The
+        gradient-safe form must return a finite (zero) gradient there and
+        stay correct nearby."""
+        g = jax.grad(lambda v: jnp.sum(G.rot_from_axisangle(v) ** 2))(
+            jnp.zeros((2, 3))
+        )
+        assert np.all(np.isfinite(np.asarray(g)))
+
+        vecs = jnp.asarray([[1e-4, -2e-4, 3e-4], [0.3, -0.2, 0.1]], jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(jnp.sin(G.rot_from_axisangle(v))))(vecs)
+        assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestTransformation:
     def test_layout(self):

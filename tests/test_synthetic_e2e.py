@@ -1,0 +1,154 @@
+"""End-to-end protocol tests on the synthetic moving-object world.
+
+`moving_object_batch` builds a scene whose ground truth is known exactly:
+a camera translating along x (uniform horizontal background flow — epipolar
+lines horizontal, residual 0) plus a vertically-moving textured patch
+(epipolar violator). These tests validate the world's geometry and the
+photometric fine-tune path (phase 1 of the reference's two-stage protocol:
+flow/pose pretraining that produces the frozen log/v0 models,
+reference trainer.py:146-156). The full two-phase convergence demo runs on
+real hardware via tools/synthetic_e2e.py; its results live in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdn_sfm_tpu import training as T
+from mdn_sfm_tpu.config import Config, Mode
+from mdn_sfm_tpu.data.synthetic import moving_object_batch
+from mdn_sfm_tpu.metrics import compute_epe
+
+H, W, B = 32, 64, 2
+
+
+class TestMovingObjectWorld:
+    def test_shapes_and_frame_order(self):
+        c, K, m, f, times = moving_object_batch(B, H, W, seed=3)
+        assert c.shape == (B, 3, H, W, 3) and c.dtype == np.uint8
+        assert K.shape == (B, 4, 4)
+        assert m.shape == (B, H, W)
+        assert f.shape == (B, 3, H, W, 2)
+        assert times == [0, -1, 1]
+        np.testing.assert_array_equal(f[:, 0], 0.0)  # target frame: zero flow
+
+    def test_background_photometrically_consistent(self):
+        """ref(x + gt_flow) == target(x) off-patch (up to uint8 rounding)."""
+        c, _, m, f, times = moving_object_batch(1, H, W, seed=5, bg_shift=2)
+        tgt = c[0, 0].astype(np.float64)
+        nxt = c[0, times.index(1)].astype(np.float64)
+        # gt background flow target→(+1) is (+2, 0): nxt(x+2) == tgt(x)
+        err = np.abs(nxt[:, 2:] - tgt[:, :-2])
+        off_patch = (m[0][:, :-2] == 0) & (m[0][:, 2:] == 0)
+        # the patch also occludes different background per frame — exclude
+        # rows the object sweeps through
+        rows = m[0].max(axis=1) == 0
+        assert err[rows][off_patch[rows]].mean() < 2.0
+
+    def test_patch_violates_horizontal_epipolar(self):
+        """With cam_T_cam = (I, (1,0,0)) the GT background flow has zero
+        epipolar residual and the GT patch flow does not."""
+        from mdn_sfm_tpu.geometry import epipolar_residual, invert_intrinsics
+
+        c, K, m, f, times = moving_object_batch(1, H, W, seed=7)
+        inv_K = invert_intrinsics(jnp.asarray(K))[:, :3, :3]
+        R = jnp.eye(3)[None]
+        t = jnp.asarray([[1.0, 0.0, 0.0]])
+        resid = np.abs(
+            np.asarray(
+                epipolar_residual(jnp.asarray(f[:, times.index(1)]), inv_K, R, t)
+            )
+        )[0]
+        assert resid[m[0] == 0].max() < 1e-4
+        assert resid[m[0] > 0].min() > 0.1
+
+
+class TestPhotometricFineTune:
+    def test_flow_epe_drops(self):
+        """Phase 1 of the two-stage protocol: photometric-only training
+        (w_e=0, flow+pose trainable, pose pinned by an oracle head) must cut
+        flow EPE vs the known ground truth. Exercises the flag-gated
+        photometric loss END-TO-END through the real train step — forward,
+        inverse-warp backward, optimizer — not just its forward value."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from synthetic_e2e import pose_oracle_variables
+
+        cfg = Config(
+            height=H,
+            width=W,
+            batch_size=B,
+            mode=Mode.T,
+            threshold=9.22,
+            fine_tune_flow_motion=True,
+            disable_photoloss=False,
+            no_ssim=True,
+            w_p=1.0,
+            w_e=0.0,
+            w_s=0.0,
+            w_c=0.0,
+            w_d2_sim=0.0,
+            learning_rate=3e-4,
+            compute_dtype="float32",
+            donate_state=False,
+        ).validate()
+
+        models = T.build_models(cfg)
+        variables = T.init_variables(cfg, models, jax.random.PRNGKey(0))
+        variables = jax.tree.map(jnp.asarray, pose_oracle_variables(variables))
+
+        ev_c, ev_K, _, ev_f, times = moving_object_batch(B, H, W, seed=999)
+
+        def mean_epe(flow_params):
+            from mdn_sfm_tpu.data.augment import augment_batch
+
+            colors, _, _ = augment_batch(
+                cfg, jnp.asarray(ev_c), jnp.asarray(ev_K), jax.random.PRNGKey(0),
+                train=False,
+            )
+            fvars = dict(variables["flownet"])
+            fvars["params"] = flow_params
+            flows, _ = models.flow.apply(fvars, colors[(0, 0)], colors[(1, 0)])
+            pred = np.asarray(flows[0].astype(jnp.float32)) * np.array(
+                [W, H], np.float32
+            )
+            gt = ev_f[:, times.index(1)]
+            ones = np.ones((H, W), np.float32)
+            return float(
+                np.mean([compute_epe(gt[b], pred[b], ones) for b in range(B)])
+            )
+
+        tx = T.make_optimizer(cfg, steps_per_epoch=100)
+        state, frozen = T.create_train_state(cfg, models, variables, tx)
+        step = T.make_multi_train_step(cfg, models, tx)
+
+        epe0 = mean_epe(state.params["flownet"])
+
+        K_STEPS, DISPATCHES = 10, 3
+        rng = jax.random.PRNGKey(1)
+        for d in range(DISPATCHES):
+            cs, ks = [], []
+            for i in range(K_STEPS):
+                c, Kd, _, _, _ = moving_object_batch(B, H, W, seed=d * K_STEPS + i)
+                cs.append(c)
+                ks.append(Kd)
+            batches = {
+                "colors_u8": jnp.asarray(np.stack(cs)),
+                "K": jnp.asarray(np.stack(ks)),
+            }
+            state, frozen, metrics, _ = step(state, frozen, batches, rng)
+            assert np.isfinite(float(metrics["photo"])), "photometric loss NaN"
+
+        epe1 = mean_epe(state.params["flownet"])
+        # 30 steps at lr 3e-4: the TPU demo cuts EPE ~5× by step 50; require
+        # a robust 30% drop so scheduler/seed jitter can't flake the test
+        assert epe1 < 0.7 * epe0, f"EPE did not drop: {epe0:.3f} -> {epe1:.3f}"
+
+        # pose oracle must be untouched: photometric loss gives pose ZERO
+        # gradient, so Adam leaves the crafted head exactly in place
+        head = jax.device_get(state.params["posenet"])["decoder"]["pose_2"]
+        np.testing.assert_array_equal(np.asarray(head["kernel"]), 0.0)

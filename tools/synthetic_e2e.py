@@ -1,0 +1,289 @@
+"""End-to-end validation of the two-stage MDN-SfM protocol on a synthetic
+moving-object world with KNOWN ground truth.
+
+The reference trains the mobile decoder against FROZEN flow/pose nets that
+come from a previous training run (trainer.py:146-156 loads them from
+log/v0/models/weights_0); this tool reproduces that whole workflow
+self-contained, with no KITTI data and no pretrained weights:
+
+  phase 1  train FlowNet with the (flag-gated) photometric loss on the
+           synthetic world (`moving_object_batch`): background = camera
+           translating along x (uniform horizontal flow), plus a square
+           patch moving vertically. PoseNet is replaced by an ORACLE
+           (pose_2 kernel zeroed, bias set so the head outputs the exact
+           camera motion R=I, t=(1,0,0) — the same "frozen pretrained
+           pose" role it has in the reference). Saved in the reference
+           checkpoint layout.
+
+  phase 2  load flow/pose frozen from the phase-1 folder (the v0 protocol),
+           train a fresh MobileDecoder in SN mode. The patch violates the
+           horizontal-epipolar-line constraint, the background satisfies
+           it, so the learned mobile map must segment the patch.
+
+  eval     flow EPE vs ground truth (before/after phase 1) and mask
+           accuracy/precision/recall/F1/Dice vs the known patch mask.
+
+Usage:
+  python tools/synthetic_e2e.py                  # full demo (TPU-sized)
+  python tools/synthetic_e2e.py --height 32 --width 64 --steps1 200 ...
+
+Prints one JSON line with all metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def pose_oracle_variables(variables: dict) -> dict:
+    """Overwrite the PoseNet head so it outputs the exact world camera
+    motion: axisangle = 0, translation = (1, 0, 0). The last conv's kernel
+    is zeroed and its bias set to the pre-scale values (out × 0.01 scale,
+    models/pose_net.py), so the output is input-independent — a crafted
+    'pretrained' pose net for the synthetic world."""
+    import jax
+
+    variables = jax.device_get(variables)
+    head = variables["posenet"]["params"]["decoder"]["pose_2"]
+    head["kernel"] = np.zeros_like(np.asarray(head["kernel"]))
+    # mean over spatial then ×0.01: bias (6,) = [aa, t] pre-scale
+    head["bias"] = np.array([0, 0, 0, 100.0, 0, 0], np.float32)
+    return variables
+
+
+def _forward(models, variables, colors):
+    """Clean (un-augmented) forward of both reference frames at scale 0.
+    Returns ({t: flow_px}, {t: mobile}, axisangle, translation)."""
+    import jax.numpy as jnp
+
+    flows_px, mobiles = {}, {}
+    tgt = colors[(0, 0)]
+    h, w = tgt.shape[1:3]
+    for t in (-1, 1):
+        ref = colors[(t, 0)]
+        flows, feats = models.flow.apply(variables["flownet"], tgt, ref)
+        aa, tr = models.pose.apply(variables["posenet"], tgt, ref)
+        mob = models.mobile.apply(
+            {"params": variables["mobile_decoder"]["params"]}, feats, aa, tr
+        )
+        flows_px[t] = np.asarray(flows[0].astype(jnp.float32)) * np.array(
+            [w, h], np.float32
+        )
+        mobiles[t] = np.asarray(mob[0].astype(jnp.float32))
+    return flows_px, mobiles
+
+
+def run(args) -> dict:
+    from mdn_sfm_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdn_sfm_tpu import checkpoints as ckpt
+    from mdn_sfm_tpu import training as T
+    from mdn_sfm_tpu.config import Config, Mode
+    from mdn_sfm_tpu.data.augment import augment_batch
+    from mdn_sfm_tpu.data.synthetic import moving_object_batch
+    from mdn_sfm_tpu.metrics import compute_epe, get_quantitative_results
+
+    h, w, bs = args.height, args.width, args.batch_size
+    results: dict = {}
+
+    # one fixed eval world + a stream of training worlds
+    ev_colors, ev_K, ev_mask, ev_flows, times = moving_object_batch(
+        args.eval_batch, h, w, seed=10_000
+    )
+
+    def make_batches(k: int, step: int):
+        """(K, B, F, H, W, 3) uint8 + (K, B, 4, 4) — fresh worlds per step."""
+        cs, ks = [], []
+        for i in range(k):
+            c, K, _, _, _ = moving_object_batch(bs, h, w, seed=step + i)
+            cs.append(c)
+            ks.append(K)
+        return {"colors_u8": jnp.asarray(np.stack(cs)), "K": jnp.asarray(np.stack(ks))}
+
+    def eval_colors(cfg):
+        colors, _, _ = augment_batch(
+            cfg, jnp.asarray(ev_colors), jnp.asarray(ev_K), jax.random.PRNGKey(0),
+            train=False,
+        )
+        return colors
+
+    def flow_epe(flows_px):
+        """Mean EPE over both reference frames, plus background/object split
+        for the +1 frame."""
+        frame_of_t = {t: f for f, t in enumerate(times)}
+        per, bg, obj = [], None, None
+        for t, pred in flows_px.items():
+            gt = ev_flows[:, frame_of_t[t]]
+            ones = np.ones(gt.shape[:3], np.float32)
+            per.append(
+                np.mean([compute_epe(gt[b], pred[b], ones[b]) for b in range(len(gt))])
+            )
+            if t == 1:
+                bg = np.mean(
+                    [compute_epe(gt[b], pred[b], 1.0 - ev_mask[b]) for b in range(len(gt))]
+                )
+                obj = np.mean(
+                    [compute_epe(gt[b], pred[b], ev_mask[b]) for b in range(len(gt))]
+                )
+        return float(np.mean(per)), float(bg), float(obj)
+
+    # ---------------------------------------------------------------- phase 1
+    cfg1 = Config(
+        height=h,
+        width=w,
+        batch_size=bs,
+        mode=Mode.T,  # threshold post-proc: no max-normalization divide
+        threshold=9.22,
+        fine_tune_flow_motion=True,
+        disable_photoloss=False,
+        no_ssim=True,
+        w_p=1.0,
+        w_e=0.0,  # phase 1 is photometric-only: no epipolar pressure on flow
+        w_s=0.0,
+        w_c=0.0,
+        w_d2_sim=0.0,
+        learning_rate=args.lr1,
+        compute_dtype="bfloat16",
+        donate_state=False,  # `variables` is read back after training
+        log_dir=args.log_dir,
+        v_save="e2e_v0",
+    ).validate()
+
+    models = T.build_models(cfg1)
+    variables = T.init_variables(cfg1, models, jax.random.PRNGKey(args.seed))
+    variables = jax.tree.map(jnp.asarray, pose_oracle_variables(variables))
+
+    colors0 = eval_colors(cfg1)
+    f0, _ = _forward(models, variables, colors0)
+    results["epe_init"], _, _ = flow_epe(f0)
+
+    tx1 = T.make_optimizer(cfg1, steps_per_epoch=max(args.steps1, 1))
+    state, frozen = T.create_train_state(cfg1, models, variables, tx1)
+    step1 = T.make_multi_train_step(cfg1, models, tx1)
+
+    k = args.k_steps
+    rng = jax.random.PRNGKey(args.seed + 1)
+    loss1 = None
+    for d in range(max(args.steps1 // k, 1)):
+        batches = make_batches(k, step=d * k)
+        state, frozen, metrics, _ = step1(state, frozen, batches, rng)
+        loss1 = float(metrics["photo"])
+        if args.verbose:
+            print(f"phase1 dispatch {d}: photo={loss1:.4f}", file=sys.stderr)
+    results["photo_final"] = loss1
+
+    # phase-1 weights back into a full variables tree, saved in the reference
+    # layout → phase 2 consumes them exactly like the reference's log/v0
+    trained = dict(jax.device_get(variables))
+    trained["flownet"] = dict(trained["flownet"])
+    trained["flownet"]["params"] = jax.device_get(state.params["flownet"])
+    trained["posenet"] = dict(trained["posenet"])
+    trained["posenet"]["params"] = jax.device_get(state.params["posenet"])
+    folder = ckpt.weights_folder(args.log_dir, "e2e_v0", 0)
+    ckpt.save_checkpoint(folder, trained, models_to_save=("flownet", "posenet"))
+
+    f1_flows, _ = _forward(models, {**trained, "mobile_decoder": variables["mobile_decoder"]}, colors0)
+    results["epe_trained"], results["epe_bg"], results["epe_obj"] = flow_epe(f1_flows)
+
+    # ---------------------------------------------------------------- phase 2
+    cfg2 = Config(
+        height=h,
+        width=w,
+        batch_size=bs,
+        mode=Mode.SN,
+        alpha=0.55,
+        w_e=1.0,
+        w_s=0.1,
+        w_c=0.5,
+        w_d2_sim=0.0,
+        learning_rate=args.lr2,
+        compute_dtype="bfloat16",
+        donate_state=False,
+        log_dir=args.log_dir,
+        load_weights_folder=folder,
+        models_to_load=("flownet", "posenet"),
+    ).validate()
+
+    models2 = T.build_models(cfg2)
+    variables2 = T.init_variables(cfg2, models2, jax.random.PRNGKey(args.seed + 2))
+    variables2, _, _ = ckpt.load_checkpoint(
+        folder, variables2, models_to_load=("flownet", "posenet")
+    )
+
+    tx2 = T.make_optimizer(cfg2, steps_per_epoch=max(args.steps2, 1))
+    state2, frozen2 = T.create_train_state(cfg2, models2, variables2, tx2)
+    step2 = T.make_multi_train_step(cfg2, models2, tx2)
+
+    rng2 = jax.random.PRNGKey(args.seed + 3)
+    loss2 = None
+    for d in range(max(args.steps2 // k, 1)):
+        batches = make_batches(k, step=100_000 + d * k)
+        state2, frozen2, metrics, _ = step2(state2, frozen2, batches, rng2)
+        loss2 = float(metrics["loss"])
+        if args.verbose:
+            print(f"phase2 dispatch {d}: loss={loss2:.4f}", file=sys.stderr)
+    results["loss2_final"] = loss2
+
+    final_vars = dict(variables2)
+    final_vars["mobile_decoder"] = {
+        "params": jax.device_get(state2.params["mobile_decoder"])
+    }
+    _, mobiles = _forward(models2, final_vars, eval_colors(cfg2))
+    mobile = np.minimum(mobiles[-1], mobiles[1])[..., 0]  # min-fused, (B, H, W)
+
+    results["sep"] = float(
+        mobile[ev_mask > 0].mean() - mobile[ev_mask == 0].mean()
+    )
+    acc, prec, rec, f1s, dice = get_quantitative_results(
+        (mobile >= args.binary_threshold).astype(np.float32), ev_mask
+    )
+    results.update(
+        accuracy=acc, precision=prec, recall=rec, f1=f1s, dice=dice,
+        binary_threshold=args.binary_threshold,
+    )
+    # per-mode operating points differ (reference README.md:27-33 uses
+    # 0.18-0.48); sweep like trainer's hyper tooling would and report the best
+    best = (-1.0, None)
+    for thr in np.arange(0.05, 0.95, 0.05):
+        _, _, _, f1t, _ = get_quantitative_results(
+            (mobile >= thr).astype(np.float32), ev_mask
+        )
+        if np.isfinite(f1t) and f1t > best[0]:
+            best = (f1t, float(thr))
+    results["best_f1"], results["best_f1_threshold"] = best
+    return results
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval_batch", type=int, default=8)
+    p.add_argument("--steps1", type=int, default=2000)
+    p.add_argument("--steps2", type=int, default=1000)
+    p.add_argument("--k_steps", type=int, default=50)
+    p.add_argument("--lr1", type=float, default=3e-4)
+    p.add_argument("--lr2", type=float, default=1e-4)
+    p.add_argument("--binary_threshold", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_dir", default="/tmp/mdn_e2e_log")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+    print(json.dumps(run(args)))
+
+
+if __name__ == "__main__":
+    main()
