@@ -131,6 +131,7 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int = 0,
     models_to_save: tuple[str, ...] = ("flownet", "posenet", "mobile_decoder"),
+    base_step: int = 0,
 ) -> None:
     """Save per-model files like the reference (trainer.py:108-131).
 
@@ -138,7 +139,13 @@ def save_checkpoint(
     presence is the checkpoint's commit marker: a folder with meta.json is
     guaranteed to hold fully-written model files (``latest_weights_idx``
     refuses folders without it, so ``--resume auto`` can never pick up a
-    half-saved checkpoint after a preemption)."""
+    half-saved checkpoint after a preemption).
+
+    ``base_step``: the step-counter value at the START of the run that wrote
+    this checkpoint. The global counter is inherited across fine-tune stages
+    (a --v_load/--load_adam run continues its base checkpoint's count), so
+    ``step - base_step`` — not ``step`` — is this run's progress; ``--resume
+    auto`` uses it to re-enter the correct (epoch, batch) position."""
     os.makedirs(folder, exist_ok=True)
     for name in models_to_save:
         if name in variables:
@@ -147,8 +154,18 @@ def save_checkpoint(
         save_variables(os.path.join(folder, "adam.msgpack"), opt_state)
     tmp = os.path.join(folder, "meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"step": int(step)}, f)
+        json.dump({"step": int(step), "base_step": int(base_step)}, f)
     os.replace(tmp, os.path.join(folder, "meta.json"))
+
+
+def read_meta(folder: str) -> dict:
+    """The checkpoint's commit-marker metadata ({} for reference-layout .pth
+    folders, which have no marker)."""
+    meta = os.path.join(folder, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)
+    return {}
 
 
 def load_checkpoint(
@@ -176,11 +193,7 @@ def load_checkpoint(
     if opt_state is not None and os.path.exists(adam):
         opt_state = load_variables(adam, jax.device_get(opt_state))
 
-    step = 0
-    meta = os.path.join(folder, "meta.json")
-    if os.path.exists(meta):
-        with open(meta) as f:
-            step = json.load(f).get("step", 0)
+    step = read_meta(folder).get("step", 0)
     return variables, opt_state, step
 
 

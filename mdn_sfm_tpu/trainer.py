@@ -154,6 +154,16 @@ class Trainer:
                     mfolder, variables, models_to_load=("mobile_decoder",)
                 )
                 print(f"Loaded mobile_decoder from {mfolder}")
+        # The step counter is inherited across fine-tune stages (a --v_load
+        # run continues its base checkpoint's count), so THIS run's progress
+        # is step - base_step. A fresh run's base is wherever the counter
+        # starts; an auto-resumed run inherits the interrupted run's base
+        # from its meta.json.
+        self.base_step = (
+            ckpt.read_meta(resume_folder).get("base_step", 0)
+            if resume_folder is not None
+            else self.start_step
+        )
 
         self.tx = T.make_optimizer(cfg, self.steps_per_epoch)
         self.state, self.frozen = T.create_train_state(cfg, self.models, variables, self.tx)
@@ -248,24 +258,41 @@ class Trainer:
             names = ("mobile_decoder",)
 
         if not async_write:
-            ckpt.save_checkpoint(folder, variables, state.opt_state, int(state.step), names)
+            ckpt.save_checkpoint(
+                folder, variables, state.opt_state, int(state.step), names,
+                base_step=self.base_step,
+            )
             return
         import threading
 
-        self._pending_save = threading.Thread(
-            target=ckpt.save_checkpoint,
-            args=(folder, variables, state.opt_state, int(state.step), names),
-            daemon=False,
-        )
+        def _write():
+            try:
+                ckpt.save_checkpoint(
+                    folder, variables, state.opt_state, int(state.step), names,
+                    base_step=self.base_step,
+                )
+            except BaseException as e:
+                # surfaced (and re-raised) by _join_pending_save — every
+                # save/exit path joins, so a failed write can never be
+                # silently swallowed by the dying thread
+                self._pending_save_error = e
+
+        self._pending_save = threading.Thread(target=_write, daemon=False)
         self._pending_save.start()
 
     def _join_pending_save(self):
         """Block until the last async checkpoint write finishes (called
-        before starting a new save and before load/exit paths)."""
+        before starting a new save and before load/exit paths). A failure in
+        the background write (disk full, serialization error) re-raises HERE
+        so it cannot be silently swallowed by the dying thread."""
         t = getattr(self, "_pending_save", None)
         if t is not None:
             t.join()
             self._pending_save = None
+        err = getattr(self, "_pending_save_error", None)
+        if err is not None:
+            self._pending_save_error = None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def _device_batch(self, arrays: tuple, keys: list[str]) -> dict:
         colors, K = arrays
@@ -309,11 +336,15 @@ class Trainer:
         # as an uninterrupted one (the per-epoch shuffle depends only on
         # (seed, epoch) and the augment RNG only on the step counter).
         start_epoch, self._skip_batches = 0, 0
+        already_complete = False
         if self._resumed_auto and self.steps_per_epoch > 0:
+            # progress of THIS run = step - base_step (the counter itself is
+            # inherited across fine-tune stages; see _initialize_models)
             start_epoch, self._skip_batches = divmod(
-                self.start_step, self.steps_per_epoch
+                self.start_step - self.base_step, self.steps_per_epoch
             )
             if start_epoch >= cfg.num_epochs:
+                already_complete = True
                 print(f"Auto-resume: run already complete at step {self.start_step}")
 
         def _request_stop(signum, frame):
@@ -331,7 +362,10 @@ class Trainer:
                 self.run_epoch()
                 if self._stop_requested:
                     break
-            self.save_model(self.idx_save)
+            if not already_complete:
+                # restarting an already-finished run must be a no-op, not a
+                # fresh duplicate checkpoint per restart (crash-loop safety)
+                self.save_model(self.idx_save)
         finally:
             self._join_pending_save()  # train() returns with the files on disk
             for sig, h in prev.items():
@@ -418,8 +452,13 @@ class Trainer:
                 self.save_model(self.idx_save, async_write=True)
                 self.idx_save += 1
 
-        # flush the epoch tail (< K buffered batches) one step at a time
+        # flush the epoch tail (< K buffered batches) one step at a time —
+        # unless a stop was requested: the handler promises a checkpoint at
+        # the NEXT batch boundary, and un-stepped buffered batches are
+        # re-consumed on resume (position derives from the step counter)
         for batch in pend:
+            if self._stop_requested:
+                break
             self.state, self.frozen, metrics, _ = self.step_fn(
                 self.state, self.frozen, batch, self.rng
             )

@@ -257,9 +257,12 @@ def loss_from_batch(
         # jax.checkpoint: keep only this call's inputs/outputs for backward
         # and replay the flow/pose/mobile forward during it — activation HBM
         # for one extra forward of FLOPs (same math; grads are bitwise
-        # identical, tested). With bn_frozen_eval the pass-through frozen
-        # tree stays OUT of the checkpoint so `new_frozen is frozen` holds
-        # (the BN-sync and donation-alias paths key on that identity).
+        # identical, tested). With bn_frozen_eval the untouched frozen tree
+        # stays OUT of the checkpointed outputs — no point routing a
+        # pass-through constant through the rematerialized region. (The
+        # BN-sync/donation decisions in _step_body key on the static
+        # cfg.bn_frozen_eval flag, not on pytree identity, which would not
+        # survive the jax.grad aux round-trip anyway.)
         if cfg.bn_frozen_eval:
             @jax.checkpoint
             def _fwd(params, frozen, tgt_rep, refs):
@@ -372,11 +375,19 @@ def _step_body(
     local_b = batch["colors_u8"].shape[0]
     offset = jax.lax.axis_index(axis) * local_b if axis else 0
     n_micro = cfg.accum_steps
+    bn_train = not cfg.bn_frozen_eval  # static: the ONLY frozen-tree mutation
 
     if n_micro <= 1:
         grads, (losses, aux, new_frozen) = _microbatch_grads(
             cfg, models, mask_fn, state.params, frozen, batch, rng, offset
         )
+        if not bn_train:
+            # eval-mode BN never touches the frozen tree; returning the input
+            # object keeps the donation alias and skips the BN-stats pmean
+            # below (pytree identity does NOT survive the jax.grad aux
+            # round-trip, so without this reassignment the guard would fire
+            # every step)
+            new_frozen = frozen
     else:
         assert local_b % n_micro == 0, (
             f"per-device batch {local_b} must divide by accum_steps {n_micro}"
@@ -385,7 +396,6 @@ def _step_body(
         micro = jax.tree.map(
             lambda x: x.reshape((n_micro, mb) + x.shape[1:]), batch
         )
-        bn_train = not cfg.bn_frozen_eval
 
         def scan_body(carry, xs):
             g_acc, fro = carry
@@ -408,13 +418,11 @@ def _step_body(
         aux = jax.tree.map(
             lambda x: x.reshape((local_b,) + x.shape[2:]), aux_a
         )
-        # keep python identity in the eval-BN regime: the pmean sync and the
-        # donation alias below key on `new_frozen is frozen`
         new_frozen = fro_end if bn_train else frozen
     if axis is not None:
         grads = jax.lax.pmean(grads, axis)
         losses = jax.lax.pmean(losses, axis)
-        if new_frozen is not frozen:  # bn_frozen_eval=False: sync BN stats
+        if bn_train:  # bn_frozen_eval=False: sync updated BN batch stats
             for name in ("flownet", "posenet"):
                 new_frozen[name]["batch_stats"] = jax.lax.pmean(
                     new_frozen[name]["batch_stats"], axis

@@ -200,6 +200,82 @@ class TestAutoResume:
             assert json.load(f)["step"] == 2
         assert int(jax.device_get(t.state.step)) == 2
 
+    def test_auto_resume_after_fine_tune_inherits_base_step(self, tmp_path):
+        """Stage-2 fine-tune runs inherit the step COUNTER from their base
+        checkpoint (--load_adam continues the count), so auto-resume must
+        position itself by step - base_step, not the raw counter — which
+        would land in the wrong epoch or declare the run already complete."""
+        import dataclasses
+
+        import jax
+
+        from mdn_sfm_tpu import checkpoints as ckpt
+
+        kw = dict(num_epochs=2, save_frequency=10**6, limit_train_samples=8)
+        cfg1 = make_cfg(str(tmp_path), v_save="vs1", **kw)
+        t1 = Trainer(cfg1, synthetic=True)
+        t1.train()
+        base = int(jax.device_get(t1.state.step))
+        assert base == 2 * t1.steps_per_epoch
+
+        # stage 2 continues the counter; interrupt after 3 of its OWN steps
+        idx1 = ckpt.latest_weights_idx(cfg1.log_dir, "vs1")
+        cfg2 = make_cfg(str(tmp_path), v_save="vs2", load_adam=True,
+                        v_load="vs1", idx_load=idx1, **kw)
+        t2 = Trainer(cfg2, synthetic=True)
+        assert t2.start_step == base and t2.base_step == base
+        orig, n = t2.step_fn, [0]
+
+        def stepper(*a):
+            out = orig(*a)
+            n[0] += 1
+            if n[0] == 3:
+                t2._stop_requested = True
+            return out
+
+        t2.step_fn = stepper
+        t2.train()
+
+        # resume must re-enter stage 2's epoch 0 at batch 3 and finish it
+        cfg3 = dataclasses.replace(cfg2, resume="auto")
+        t3 = Trainer(cfg3, synthetic=True)
+        assert t3.start_step == base + 3 and t3.base_step == base
+        t3.train()
+        assert int(jax.device_get(t3.state.step)) == base + 2 * t3.steps_per_epoch
+
+    def test_restart_of_complete_run_is_noop(self, tmp_path):
+        """Crash-loop safety: restarting a finished run with --resume auto
+        must not write a fresh duplicate checkpoint per restart."""
+        import dataclasses
+
+        cfg = make_cfg(str(tmp_path), v_save="vdone", num_epochs=1,
+                       save_frequency=10**6, limit_train_samples=8)
+        Trainer(cfg, synthetic=True).train()
+        models_dir = os.path.join(cfg.log_dir, "vdone", "models")
+
+        def weights():
+            return sorted(d for d in os.listdir(models_dir) if d.startswith("weights_"))
+
+        before = weights()
+        t = Trainer(dataclasses.replace(cfg, resume="auto"), synthetic=True)
+        t.train()
+        assert weights() == before, "restart of a complete run wrote a duplicate"
+
+    def test_async_save_failure_surfaces(self, trained, monkeypatch):
+        """A failed background checkpoint write (disk full, serialization
+        error) must raise at the next join, not vanish with the thread."""
+        tmp, cfg, trainer = trained
+        from mdn_sfm_tpu import checkpoints as ckpt
+
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(ckpt, "save_checkpoint", boom)
+        trainer.save_model(99, async_write=True)
+        with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+            trainer._join_pending_save()
+        trainer._join_pending_save()  # error is consumed; trainer stays usable
+
     def test_async_save_ordered_and_complete(self, tmp_path):
         """save_model writes on a background thread; back-to-back saves must
         serialize (the second joins the first) and train() must return with
@@ -232,6 +308,31 @@ class TestMultiDispatch:
         assert int(jax.device_get(trainer.state.step)) >= 8
         models_dir = os.path.join(cfg.log_dir, "vk", "models")
         assert any(d.startswith("weights_") for d in os.listdir(models_dir))
+
+    def test_tail_flush_respects_stop_request(self, tmp_path):
+        """A stop (SIGTERM) arriving during the epoch-tail flush must halt at
+        the next batch boundary — not run the remaining buffered batches —
+        so the preemption checkpoint happens inside the grace window. The
+        un-stepped batches are re-consumed on resume (position derives from
+        the step counter)."""
+        import jax
+
+        # 12 samples / batch 2 = 6 batches: one K=4 dispatch + a 2-batch tail
+        cfg = make_cfg(str(tmp_path), steps_per_dispatch=4, v_save="vkstop",
+                       num_epochs=1, save_frequency=10**6,
+                       limit_train_samples=12)
+        t = Trainer(cfg, synthetic=True)
+        orig = t.step_fn
+
+        def stop_after_first(*a):
+            out = orig(*a)
+            t._stop_requested = True  # what the SIGTERM handler sets
+            return out
+
+        t.step_fn = stop_after_first
+        t.train()
+        # 4 scanned + 1 flushed; the second tail batch must NOT have run
+        assert int(jax.device_get(t.state.step)) == 5
 
 
 class TestTools:

@@ -200,16 +200,11 @@ def main() -> None:
                    help="audit the legacy jit+GSPMD path instead of shard_map")
     args = p.parse_args()
 
-    # virtual CPU mesh when real chips can't provide n devices (same lever
-    # as __graft_entry__.dryrun_multichip — must run before backend init)
-    import jax
+    # virtual CPU mesh when real chips can't provide n devices (shared
+    # recipe with conftest/dryrun_multichip — must run before backend init)
+    from mdn_sfm_tpu.utils import force_virtual_cpu
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-        if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-            jax.config.update("jax_num_cpu_devices", args.n)
-    except Exception:
-        pass
+    force_virtual_cpu(args.n)
     audit(args.n, args.mode, args.height, args.width, args.batch or args.n,
           args.fine_tune, args.provider, gspmd=args.gspmd)
 
