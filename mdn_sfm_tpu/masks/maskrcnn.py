@@ -230,9 +230,17 @@ def nms_fixed(boxes: Array, scores: Array, iou_thresh: float, max_out: int) -> t
         alive = jnp.where(ok, alive & (iou[j] <= iou_thresh), alive)
         return alive, keep, valid
 
-    alive0 = jnp.ones((n,), bool)
-    keep0 = jnp.zeros((max_out,), jnp.int32)
-    valid0 = jnp.zeros((max_out,), bool)
+    # Initial carries derive from `scores` so they type as device-varying
+    # under shard_map's static VMA checker (check_vma=True): constant
+    # initializers type as replicated while the loop outputs are varying,
+    # which the checker rejects — this used to force check_vma=False on the
+    # WHOLE train step. `vfalse` is identically False (x & ~x, NaN-safe), so
+    # values are unchanged and XLA folds the extra ops away.
+    nan_mask = scores != scores
+    vfalse = nan_mask & ~nan_mask
+    alive0 = jnp.ones((n,), bool) | vfalse
+    keep0 = jnp.zeros((max_out,), jnp.int32) + vfalse[0].astype(jnp.int32)
+    valid0 = jnp.zeros((max_out,), bool) | vfalse[0]
     _, keep, valid = jax.lax.fori_loop(0, max_out, body, (alive0, keep0, valid0))
     return keep, valid
 

@@ -496,12 +496,13 @@ def make_train_step(
     def local_step(state, frozen, batch, rng):
         return _step_body(cfg, models, tx, mask_fn, state, frozen, batch, rng, axis)
 
-    # check_vma=False: loop carries that start as constants (e.g. the NMS
-    # fori_loop's alive/keep masks) type as replicated while their outputs
-    # are device-varying, which the static VMA checker rejects; replication
-    # of the P() outputs is guaranteed by the explicit pmeans instead.
+    # check_vma=True: the static varying-mask checker verifies every P()
+    # output really is replicated (i.e. a pmean can't silently be dropped).
+    # The one construct it used to reject — NMS fori_loop carries starting
+    # as constants — now derives its initial carries from the varying scores
+    # (maskrcnn.py::nms_fixed), so the checker stays on for the whole step.
     step = jax.shard_map(
-        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=True
     )
     return jax.jit(step, donate_argnums=donate)
 
@@ -555,6 +556,13 @@ def make_multi_train_step(
             batch0 = jax.tree.map(lambda x: x[0], batches)
             aux_shapes = jax.eval_shape(_aux_only, state, frozen, batch0, rng)
             aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+            if axis is not None:
+                # the scan carries aux (last step's batch-derived images),
+                # which is device-varying; a replicated zeros init would
+                # fail check_vma's carry-type match — mark it varying
+                aux0 = jax.tree.map(
+                    lambda z: jax.lax.pcast(z, axis, to="varying"), aux0
+                )
             (state, frozen, _, aux), metrics = jax.lax.scan(
                 one_step, (state, frozen, rng, aux0), batches, unroll=unroll
             )
@@ -575,7 +583,7 @@ def make_multi_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(None, axis), P()),
         out_specs=out_specs,
-        check_vma=False,  # see make_train_step
+        check_vma=True,  # see make_train_step
     )
     return jax.jit(k_steps, donate_argnums=donate)
 
