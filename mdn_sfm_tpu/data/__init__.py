@@ -11,10 +11,11 @@ decode+augment path).
 from .augment import augment_batch, eval_preprocess, MEAN, STD
 from .splits import read_split_lines, split_path
 from .kitti import KittiRawDataset, parse_calib_intrinsics
-from .loader import HostLoader
+from .loader import HostLoader, Subset
 from .synthetic import synthetic_batch
 
 __all__ = [
+    "Subset",
     "augment_batch",
     "eval_preprocess",
     "MEAN",

@@ -15,6 +15,21 @@ from typing import Callable, Iterator
 import numpy as np
 
 
+class Subset:
+    """Index-selected view of a map-style dataset (host sharding of datasets
+    that are not manifest-backed, e.g. SyntheticDataset in multi-host runs)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.indices[i]]
+
+
 class HostLoader:
     """Shuffling, batching, prefetching loader over a map-style dataset.
 

@@ -49,10 +49,17 @@ def read_split_lines(path: str) -> list[SplitLine]:
 def shard_for_host(
     lines: list[SplitLine], host_id: int | None = None, host_count: int | None = None
 ) -> list[SplitLine]:
-    """Static per-host shard of the manifest (strided so drives interleave)."""
+    """Static per-host shard of the manifest (strided so drives interleave).
+
+    Every host's shard is truncated to the common length
+    ``len(lines) // host_count`` so all hosts compute the identical
+    steps_per_epoch — otherwise a host whose strided slice is one line longer
+    would dispatch one extra collective step and deadlock the others
+    (at most host_count-1 lines are dropped per epoch)."""
     if host_id is None:
         import jax
 
         host_id = jax.process_index()
         host_count = jax.process_count()
-    return lines[host_id::host_count]
+    per_host = len(lines) // host_count
+    return lines[host_id::host_count][:per_host]

@@ -6,10 +6,11 @@ all chips, batch-axis data sharding with replicated params, and XLA-emitted
 gradient all-reduce over ICI (no NCCL/MPI analog needed).
 """
 
-from .distributed import maybe_initialize_distributed
+from .distributed import barrier, maybe_initialize_distributed
 from .mesh import (
     data_sharding,
     global_batch_to_device,
+    host_local,
     make_mesh,
     make_spatial_mesh,
     replicate,
@@ -22,6 +23,8 @@ __all__ = [
     "data_sharding",
     "shard_batch",
     "replicate",
+    "host_local",
     "global_batch_to_device",
     "maybe_initialize_distributed",
+    "barrier",
 ]

@@ -36,3 +36,23 @@ def maybe_initialize_distributed() -> bool:
         except Exception:
             return False
     return False
+
+
+def barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Rendezvous all processes through the coordination service (NOT a
+    device collective — works before any communicator exists).
+
+    Needed because cross-host communicator setup has short handshake
+    timeouts (Gloo's KV exchange on CPU is ~30 s), while the first train-step
+    compile can take minutes and skew across hosts; hosts must align their
+    first collective dispatch, not just their process start. No-op on a
+    single process."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed  # no public barrier API as of jax 0.9
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)

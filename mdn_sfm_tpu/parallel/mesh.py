@@ -54,19 +54,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host-global batch with its leading axis sharded over the mesh.
+    """Place a batch with its leading axis sharded over the mesh.
 
-    The global batch size must divide by the mesh size; the per-device slice
-    rides to its chip (the host-sharded analog of the reference's
-    pin_memory H2D copies, trainer.py:69-71)."""
+    Single process: ``batch`` is the global batch; the per-device slice rides
+    to its chip (the host-sharded analog of the reference's pin_memory H2D
+    copies, trainer.py:69-71). Multi-process (one process per host over DCN,
+    SURVEY.md §5): each host passes its LOCAL slice — global batch size
+    ``local · process_count``, assembled positionally (process p's rows land
+    on its own chips; no cross-host data movement)."""
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Replicate a pytree (params, frozen weights) on every device."""
+    """Replicate a pytree (params, frozen weights) on every device.
+
+    Multi-process: every host passes the identical host-local tree (same
+    seed → same init; same checkpoint files → same load) and provides the
+    copies for its own chips."""
     s = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), tree
+        )
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def host_local(x: Any) -> np.ndarray:
+    """This host's rows of a batch-sharded global array (np.asarray raises on
+    non-fully-addressable arrays). Fully-addressable inputs pass through."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(
+            x.addressable_shards, key=lambda sh: sh.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)
+    return np.asarray(x)
 
 
 def global_batch_to_device(mesh: Mesh, batch: Any) -> Any:

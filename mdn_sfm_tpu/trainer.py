@@ -55,6 +55,8 @@ class Trainer:
     # ------------------------------------------------------------ setup
 
     def _make_writers(self):
+        if jax.process_index() != 0:
+            return None  # multi-host: only process 0 logs (shared-FS race)
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -67,10 +69,25 @@ class Trainer:
 
     def _initialize_dataset(self):
         cfg = self.cfg
+        # cfg.batch_size is the GLOBAL batch; each host's loader feeds its
+        # own slice (one manifest shard per host over DCN — SURVEY.md §5)
+        n_proc = jax.process_count()
+        if n_proc > 1 and cfg.batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch {cfg.batch_size} must divide by process count {n_proc}"
+            )
+        self.local_batch = cfg.batch_size // n_proc
         if self.synthetic:
             n = cfg.limit_train_samples or max(cfg.batch_size * 8, 64)
             dataset = SyntheticDataset(n, cfg.height, cfg.width)
-            self.sample_keys = [str(i) for i in range(len(dataset))]
+            keys = [str(i) for i in range(len(dataset))]
+            if n_proc > 1:
+                from .data import Subset
+
+                idxs = shard_for_host(list(range(n)))
+                dataset = Subset(dataset, idxs)
+                keys = [keys[i] for i in idxs]
+            self.sample_keys = keys
         else:
             repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             lines = read_split_lines(split_path(repo_root, cfg.split, "train"))
@@ -85,7 +102,7 @@ class Trainer:
 
         self.train_loader = HostLoader(
             dataset,
-            cfg.batch_size,
+            self.local_batch,
             shuffle=True,
             seed=cfg.seed,
             num_workers=cfg.num_workers,
@@ -159,11 +176,22 @@ class Trainer:
         # is step - base_step. A fresh run's base is wherever the counter
         # starts; an auto-resumed run inherits the interrupted run's base
         # from its meta.json.
-        self.base_step = (
-            ckpt.read_meta(resume_folder).get("base_step", 0)
-            if resume_folder is not None
-            else self.start_step
-        )
+        if resume_folder is not None:
+            meta = ckpt.read_meta(resume_folder)
+            self.base_step = meta.get("base_step", 0)
+            if "base_step" not in meta and self.start_step > 0:
+                # pre-upgrade checkpoint: its inherited fine-tune counter is
+                # indistinguishable from this run's progress — resume may
+                # mis-position or no-op; make that diagnosable
+                print(
+                    "WARNING: resumed meta.json has no base_step (written by an "
+                    f"older build) — treating step {self.start_step} entirely as "
+                    "this run's progress. A resumed fine-tune stage may "
+                    "mis-position or exit as already complete; restart with a "
+                    "fresh --v_save if so."
+                )
+        else:
+            self.base_step = self.start_step
 
         self.tx = T.make_optimizer(cfg, self.steps_per_epoch)
         self.state, self.frozen = T.create_train_state(cfg, self.models, variables, self.tx)
@@ -200,6 +228,15 @@ class Trainer:
         # data-parallel placement: shrink the data axis to the largest
         # divisor of the batch when the batch doesn't fill every device
         n_dev = cfg.num_data_shards or len(jax.devices())
+        if jax.process_count() > 1:
+            # multi-host: the mesh must span every process's chips (each host
+            # feeds its own rows) — shrinking would leave hosts meshless
+            n_dev = len(jax.devices())
+            if cfg.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"multi-host runs need global batch {cfg.batch_size} "
+                    f"divisible by the global device count {n_dev}"
+                )
         while n_dev > 1 and cfg.batch_size % n_dev != 0:
             n_dev -= 1
         self.mesh = make_mesh(n_dev)
@@ -225,6 +262,8 @@ class Trainer:
 
     def save_opts(self):
         """(reference: trainer.py:97-106)"""
+        if jax.process_index() != 0:
+            return  # multi-host: one writer per shared log dir
         self.cfg.save(os.path.join(self.save_path, "models", "opt.json"))
 
     def save_model(self, idx_save: int, async_write: bool = False):
@@ -296,7 +335,10 @@ class Trainer:
 
     def _device_batch(self, arrays: tuple, keys: list[str]) -> dict:
         colors, K = arrays
-        batch = {"colors_u8": jnp.asarray(colors), "K": jnp.asarray(K)}
+        # keep host numpy until placement: shard_batch assembles the global
+        # array from each host's local rows (multi-host) or device_puts the
+        # sharded batch; the single-device path places directly below
+        batch = {"colors_u8": colors, "K": K}
         if self.mask_provider is not None and not self._fused_masks:
             if hasattr(self.mask_provider, "union_masks_from_images"):
                 # non-fused fallback: live Mask R-CNN on the RAW target frame.
@@ -309,9 +351,42 @@ class Trainer:
                 )
             else:
                 masks = self.mask_provider.union_masks(keys, self.cfg.height, self.cfg.width)
-            batch["instance_mask"] = jnp.asarray(masks)
+            batch["instance_mask"] = masks
         n_dev = int(np.prod(self.mesh.devices.shape))
-        return shard_batch(self.mesh, batch) if n_dev > 1 else batch
+        if n_dev > 1:
+            return shard_batch(self.mesh, batch)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _warm_start(self):
+        """Multi-host only: AOT-compile the step(s) on shape-matched dummy
+        operands, then rendezvous every host before the first dispatch.
+
+        Cross-host communicator setup (Gloo on CPU, ~30 s handshake; ICI
+        contexts on pods) must not absorb compile-time skew between hosts —
+        a host that compiles minutes faster would time out waiting for the
+        others' first collective. AOT compile populates the persistent
+        compilation cache, so the post-barrier jit call is a fast cache
+        hit on every host."""
+        if jax.process_count() <= 1:
+            return
+        from .parallel import barrier
+
+        cfg = self.cfg
+        F = len(cfg.frame_ids)
+        from .data.synthetic import synthetic_intrinsics
+
+        colors = np.zeros((self.local_batch, F, cfg.height, cfg.width, 3), np.uint8)
+        K = np.tile(synthetic_intrinsics(cfg.height, cfg.width), (self.local_batch, 1, 1))
+        keys = self.sample_keys[: self.local_batch]
+        batch = self._device_batch((colors, K), keys)
+        self.step_fn.lower(self.state, self.frozen, batch, self.rng).compile()
+        if self.kstep_fn is not None:
+            K_steps = cfg.steps_per_dispatch
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (K_steps,) + x.shape), batch
+            )
+            self.kstep_fn.lower(self.state, self.frozen, stacked, self.rng).compile()
+        barrier(f"mdn_warm_start_{self.start_step}")
 
     def train(self):
         """(reference: trainer.py:213-254)
@@ -335,6 +410,7 @@ class Trainer:
         # interrupted-then-resumed run consumes the identical batch sequence
         # as an uninterrupted one (the per-epoch shuffle depends only on
         # (seed, epoch) and the augment RNG only on the step counter).
+        self._warm_start()
         start_epoch, self._skip_batches = 0, 0
         already_complete = False
         if self._resumed_auto and self.steps_per_epoch > 0:
@@ -367,9 +443,14 @@ class Trainer:
                 # fresh duplicate checkpoint per restart (crash-loop safety)
                 self.save_model(self.idx_save)
         finally:
-            self._join_pending_save()  # train() returns with the files on disk
-            for sig, h in prev.items():
-                signal.signal(sig, h)
+            # restore handlers even when the pending-save join raises (an
+            # async write failure must not leave _request_stop installed on
+            # a dead Trainer for the rest of the process)
+            try:
+                self._join_pending_save()  # train() returns with the files on disk
+            finally:
+                for sig, h in prev.items():
+                    signal.signal(sig, h)
 
     def run_epoch(self):
         # pin the shuffle to the trainer's epoch (not the loader's own
@@ -487,18 +568,21 @@ class Trainer:
             w.add_scalar(k, float(metrics[k]), self.step)
         if not log_image:
             return
+        from .parallel import host_local
+
         frame_ids = self.cfg.ref_frame_ids
-        min_mob = np.asarray(aux.min_mobiles[0])
+        # multi-host: aux is batch-sharded (P(data)) — read this host's rows
+        min_mob = host_local(aux.min_mobiles[0])
         n = min(num, min_mob.shape[0])
         for j in range(n):
             epip = np.hstack(
-                [normalize_image(np.asarray(aux.epipolars[(i, 0)])[j, ..., 0]) for i in frame_ids]
+                [normalize_image(host_local(aux.epipolars[(i, 0)])[j, ..., 0]) for i in frame_ids]
             )
             epip_ori = np.hstack(
-                [normalize_image(np.asarray(aux.epipolar_ori[(i, 0)])[j, ..., 0]) for i in frame_ids]
+                [normalize_image(host_local(aux.epipolar_ori[(i, 0)])[j, ..., 0]) for i in frame_ids]
             )
             flows = np.vstack(
-                [flow_to_image(np.asarray(aux.flows[(i, 0)])[j]) for i in frame_ids]
+                [flow_to_image(host_local(aux.flows[(i, 0)])[j]) for i in frame_ids]
             )
             w.add_image(f"{j}/epip", epip[None], self.step)
             w.add_image(f"{j}/epip_ori", epip_ori[None], self.step)

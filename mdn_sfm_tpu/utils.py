@@ -60,10 +60,13 @@ def force_virtual_cpu(
             + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
             + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
         ).strip()
-    if cache_dir:
-        enable_compilation_cache(cache_dir)
     try:
         jax.config.update("jax_platforms", "cpu")
+        # Only after the platform override took: pointing an already-live
+        # axon/TPU session at the CPU-only cache dir is exactly the
+        # TPU/CPU cache mixing the docstring warns about.
+        if cache_dir:
+            enable_compilation_cache(cache_dir)
         if n_devices is not None and "xla_force_host_platform_device_count" not in flags:
             jax.config.update("jax_num_cpu_devices", n_devices)
     except Exception:

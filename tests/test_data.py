@@ -132,8 +132,12 @@ class TestSplits:
             assert len(lines) == 10
             s0 = shard_for_host(lines, 0, 4)
             s1 = shard_for_host(lines, 1, 4)
-            assert len(s0) == 3 and len(s1) == 3
-            assert {l.frame_index for l in s0} == {0, 4, 8}
+            # every host truncated to the common 10//4 = 2 so all hosts
+            # compute identical steps_per_epoch (an extra line on one host
+            # would dispatch an extra collective step and deadlock the rest)
+            assert len(s0) == 2 and len(s1) == 2
+            assert {l.frame_index for l in s0} == {0, 4}
+            assert {l.frame_index for l in s1} == {1, 5}
 
     def test_real_eigen_zhou_manifest(self):
         """The vendored eigen_zhou manifests parse cleanly (39,810 train /
