@@ -21,7 +21,15 @@ from mdn_sfm_tpu.config import add_eval_args, from_args
 from mdn_sfm_tpu.metrics import binary_image, get_quantitative_results
 
 
-def evaluate(cfg) -> np.ndarray:
+def evaluate(cfg, thresholds: list[float] | None = None) -> np.ndarray:
+    """Run the metric path; returns the mean [acc, prec, recall, f1, dice]
+    row at ``cfg.binary_threshold``.
+
+    ``thresholds``: optional extra binarization thresholds to score in the
+    same pass (one decode/forward, many binarizations) — the self-calibration
+    sweep for the documented resolution quirk (PARITY.md: upsampling the
+    prediction to GT res can shift the published per-mode thresholds by
+    ±0.02). When given, returns (row, {threshold: row})."""
     import jax
     import jax.numpy as jnp
 
@@ -77,6 +85,7 @@ def evaluate(cfg) -> np.ndarray:
         return mobile_mask, post_epip, ori_epip
 
     metrics = []
+    sweep: dict[float, list] = {t: [] for t in (thresholds or [])}
     for idxs, n_valid in eval_chunks(len(dataset), cfg.eval_batch_size):
         batch_inputs = [dataset[j] for j in idxs[:n_valid]]
         pad = [batch_inputs[-1]] * (len(idxs) - n_valid)
@@ -94,7 +103,8 @@ def evaluate(cfg) -> np.ndarray:
             post_epip = post_b[bi : bi + 1]
             ori_epip = ori_b[bi : bi + 1]
             _score_and_viz(
-                cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir
+                cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir,
+                sweep,
             )
 
     if cfg.save_pred_masks:
@@ -102,10 +112,14 @@ def evaluate(cfg) -> np.ndarray:
     result = np.mean(np.array(metrics), axis=0, keepdims=True)
     print(result)
     print("\n-> Done!")
+    if thresholds:
+        rows = {t: np.mean(np.array(v), axis=0, keepdims=True) for t, v in sweep.items()}
+        return result, rows
     return result
 
 
-def _score_and_viz(cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir):
+def _score_and_viz(cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, out_dir,
+                   sweep=None):
     """Per-sample host-side scoring + panel writing (unchanged semantics from
     the per-sample loop; reference evaluate_mix.py:82-105)."""
     import jax
@@ -131,6 +145,8 @@ def _score_and_viz(cfg, j, inputs, mobile_mask, post_epip, ori_epip, metrics, ou
     metrics.append(
         get_quantitative_results(binary_image(pred, cfg.binary_threshold), gt_mask)
     )
+    for t, rows in (sweep or {}).items():
+        rows.append(get_quantitative_results(binary_image(pred, t), gt_mask))
 
     if cfg.save_pred_masks:
         # stacked panel like the reference (evaluate_mix.py:87-99):

@@ -115,6 +115,11 @@ class Config:
     disable_consisloss: bool = False
     disable_min: bool = False
     disable_smoothloss: bool = False
+    disable_augment: bool = False    # identity augmentation (no flip/zoom-crop;
+    # normalization/pyramid only). No reference flag; needed whenever
+    # PRECOMPUTED instance masks supervise DS/DC — augmentation happens
+    # on-device inside the step, so host-side masks can't follow the
+    # flip/crop (the fused live provider doesn't have this problem)
 
     # SYSTEM (options.py:172-178)
     num_workers: int = 4
@@ -297,6 +302,7 @@ _TRAIN_FIELDS = [
     "momentum", "beta", "weight_decay", "scheduler_step_size", "legacy_lr_schedule",
     "no_ssim", "weights_init", "pose_model_input",
     "disable_photoloss", "disable_consisloss", "disable_min", "disable_smoothloss",
+    "disable_augment",
     "num_workers", "limit_train_samples",
     "models_to_load", "load_adam", "v_load", "idx_load", "resume",
     "log_frequency", "save_frequency", "v_save",

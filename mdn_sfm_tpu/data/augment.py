@@ -132,7 +132,7 @@ def augment_batch(
     x = colors_u8.astype(jnp.float32) / 255.0  # (B, F, H, W, 3)
     K = K.astype(jnp.float32)
 
-    if train:
+    if train and not cfg.disable_augment:
         # Per-sample keys from the sample's GLOBAL batch position — the
         # stream is invariant to how the batch is split across devices
         # (see the sample_offset arg doc).

@@ -117,6 +117,41 @@ class TestReproduceReadmeTable:
         out = capsys.readouterr().out
         assert "| SN |" in out and "| TG |" in out
 
+    def test_threshold_sweep_reports_best_dice(self, world, capsys):
+        """--sweep scores published±0.02 thresholds in the SAME eval pass and
+        reports the best-Dice operating point — the self-calibration for the
+        documented resolution quirk (prediction upsampled to GT res can shift
+        the published thresholds by ±0.02, PARITY.md quirk table)."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        import reproduce_readme_table as rrt
+
+        rc = rrt.main(
+            [
+                "--data_root", world.data_root,
+                "--log_dir", world.log_dir,
+                "--gt_mask_path", world.gt_mask_path,
+                "--frozen_folder", world.load_weights_folder,
+                "--height", str(world.height),
+                "--width", str(world.width),
+                "--eval_out_dir", world.eval_out_dir,
+                "--mode_versions", "SN=v1:0",
+                "--eval_num_samples", "2",
+                "--sweep", "0.02",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Best-Dice operating point" in out
+        # the published threshold itself is inside the sweep, so the best
+        # Dice can never be worse than the headline row's
+        import re
+
+        headline = float(re.search(r"\| SN \|.*?\| ([\d.]+) \(18.58\)", out).group(1))
+        best = float(re.search(r"\| SN \| [\d.]+ \(0.18\) \| ([\d.]+) ", out).group(1))
+        assert best >= headline - 1e-9
+
 
 class TestEvaluateMask:
     def test_writes_viz(self, world):

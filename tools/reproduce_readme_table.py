@@ -59,6 +59,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("--eval_num_samples", type=int, default=200)
     p.add_argument("--eval_out_dir", default="output")
+    p.add_argument(
+        "--sweep", type=float, default=0.0,
+        help="also score thresholds published±sweep (step --sweep_step) in the "
+             "same pass and report the best-Dice operating point — "
+             "self-calibrates the documented ±0.02 resolution-quirk shift "
+             "(PARITY.md: prediction is upsampled to GT res before binarizing)",
+    )
+    p.add_argument("--sweep_step", type=float, default=0.01)
     args = p.parse_args(argv)
 
     mapping = {}
@@ -88,16 +96,38 @@ def main(argv=None) -> int:
         ).validate()
         cfg = dataclasses.replace(cfg, w_d2_sim=0.05 if mode_name == "DC" else 0.0)
         print(f"\n=== mode {mode_name} (threshold {pub[4]}) ===")
-        result = evaluate(cfg)[0]  # [acc, precision, recall, f1, dice]
-        rows.append((mode_name, result, pub))
+        if args.sweep > 0:
+            n = round(args.sweep / args.sweep_step)
+            thresholds = [
+                round(pub[4] + i * args.sweep_step, 4)
+                for i in range(-n, n + 1)
+                if 0.0 < pub[4] + i * args.sweep_step < 1.0
+            ]
+            result, sweep_rows = evaluate(cfg, thresholds=thresholds)
+            result = result[0]
+            best_t = max(sweep_rows, key=lambda t: sweep_rows[t][0][4])
+            rows.append((mode_name, result, pub, (best_t, sweep_rows[best_t][0])))
+        else:
+            result = evaluate(cfg)[0]  # [acc, precision, recall, f1, dice]
+            rows.append((mode_name, result, pub, None))
 
     print("\n| Mode | Acc (pub) | Prec (pub) | Recall (pub) | Dice (pub) |")
     print("|------|-----------|------------|--------------|------------|")
-    for mode_name, r, pub in rows:
+    for mode_name, r, pub, best in rows:
         print(
             f"| {mode_name} | {100 * r[0]:.2f} ({pub[0]}) | {100 * r[1]:.2f} ({pub[1]}) "
             f"| {100 * r[2]:.2f} ({pub[2]}) | {100 * r[4]:.2f} ({pub[3]}) |"
         )
+    if any(best for *_, best in rows):
+        print("\nBest-Dice operating point within the sweep (published threshold ±"
+              f"{args.sweep}):")
+        print("| Mode | best thr (pub thr) | Dice@best (pub) |")
+        print("|------|--------------------|-----------------|")
+        for mode_name, _, pub, best in rows:
+            if best is None:
+                continue
+            t, br = best
+            print(f"| {mode_name} | {t:.2f} ({pub[4]}) | {100 * br[4]:.2f} ({pub[3]}) |")
     return 0
 
 

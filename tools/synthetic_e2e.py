@@ -15,16 +15,31 @@ self-contained, with no KITTI data and no pretrained weights:
            pose" role it has in the reference). Saved in the reference
            checkpoint layout.
 
-  phase 2  load flow/pose frozen from the phase-1 folder (the v0 protocol),
-           train a fresh MobileDecoder in SN mode. The patch violates the
-           horizontal-epipolar-line constraint, the background satisfies
-           it, so the learned mobile map must segment the patch.
+  calib    epipolar percentile statistics with the trained flow + oracle
+           pose over the synthetic train stream — the reference's
+           `epipolar_statics` protocol (trainer.py:521-562, the derivation
+           behind the magic --threshold 9.22) re-run on THIS world; the
+           95th percentile becomes the T/TG truncation threshold.
 
-  eval     flow EPE vs ground truth (before/after phase 1) and mask
-           accuracy/precision/recall/F1/Dice vs the known patch mask.
+  phase 2  load flow/pose frozen from the phase-1 folder (the v0 protocol),
+           train a fresh MobileDecoder ONCE PER MODE in {SN, T, TG, DS, DC}
+           (--modes). The patch violates the horizontal-epipolar-line
+           constraint, the background satisfies it, so the learned mobile
+           map must segment the patch in every mode. DS/DC consume the
+           world's ground-truth patch mask as the instance union
+           ("semantic-GT" masks — the generate_mobile_gt --from_semantic_gt
+           analog), with identity augmentation so the precomputed masks stay
+           aligned (cfg.disable_augment).
+
+  eval     flow EPE vs ground truth (before/after phase 1) and, per mode,
+           mask accuracy/precision/recall/F1/Dice vs the known patch mask —
+           the same get_quantitative_results the evaluate_mix CLI scores the
+           README table with (eval_utils.py:278-292) — plus the best-F1
+           operating point from a threshold sweep.
 
 Usage:
   python tools/synthetic_e2e.py                  # full demo (TPU-sized)
+  python tools/synthetic_e2e.py --modes SN       # single-mode (round-3 form)
   python tools/synthetic_e2e.py --height 32 --width 64 --steps1 200 ...
 
 Prints one JSON line with all metrics.
@@ -103,14 +118,22 @@ def run(args) -> dict:
         args.eval_batch, h, w, seed=10_000
     )
 
-    def make_batches(k: int, step: int):
-        """(K, B, F, H, W, 3) uint8 + (K, B, 4, 4) — fresh worlds per step."""
-        cs, ks = [], []
+    def make_batches(k: int, step: int, with_masks: bool = False):
+        """(K, B, F, H, W, 3) uint8 + (K, B, 4, 4) — fresh worlds per step.
+        ``with_masks``: also carry the worlds' GT patch masks as the
+        instance-union supervision for DS/DC (the semantic-GT mask path)."""
+        cs, ks, ms = [], [], []
         for i in range(k):
-            c, K, _, _, _ = moving_object_batch(bs, h, w, seed=step + i)
+            c, K, m, _, _ = moving_object_batch(bs, h, w, seed=step + i)
             cs.append(c)
             ks.append(K)
-        return {"colors_u8": jnp.asarray(np.stack(cs)), "K": jnp.asarray(np.stack(ks))}
+            ms.append(m)
+        out = {"colors_u8": jnp.asarray(np.stack(cs)), "K": jnp.asarray(np.stack(ks))}
+        if with_masks:
+            out["instance_mask"] = jnp.asarray(
+                np.stack(ms).astype(np.float32)
+            )
+        return out
 
     def eval_colors(cfg):
         colors, _, _ = augment_batch(
@@ -197,72 +220,129 @@ def run(args) -> dict:
     f1_flows, _ = _forward(models, {**trained, "mobile_decoder": variables["mobile_decoder"]}, colors0)
     results["epe_trained"], results["epe_bg"], results["epe_obj"] = flow_epe(f1_flows)
 
-    # ---------------------------------------------------------------- phase 2
-    cfg2 = Config(
-        height=h,
-        width=w,
-        batch_size=bs,
-        mode=Mode.SN,
-        alpha=0.55,
-        w_e=1.0,
-        w_s=0.1,
-        w_c=0.5,
-        w_d2_sim=0.0,
-        learning_rate=args.lr2,
-        compute_dtype="bfloat16",
-        donate_state=False,
-        log_dir=args.log_dir,
-        load_weights_folder=folder,
-        models_to_load=("flownet", "posenet"),
-    ).validate()
-
-    models2 = T.build_models(cfg2)
-    variables2 = T.init_variables(cfg2, models2, jax.random.PRNGKey(args.seed + 2))
-    variables2, _, _ = ckpt.load_checkpoint(
-        folder, variables2, models_to_load=("flownet", "posenet")
+    # ------------------------------------------------- threshold calibration
+    # the reference's epipolar_statics protocol (trainer.py:521-562): epipolar
+    # residual quantiles with the TRAINED frozen flow + pose over the train
+    # stream; the 95th percentile is the T/TG truncation threshold (the same
+    # derivation that produced the published --threshold 9.22 on KITTI)
+    from mdn_sfm_tpu.geometry import (
+        epipolar_residual,
+        scale_factor,
+        transformation_from_parameters,
     )
 
-    tx2 = T.make_optimizer(cfg2, steps_per_epoch=max(args.steps2, 1))
-    state2, frozen2 = T.create_train_state(cfg2, models2, variables2, tx2)
-    step2 = T.make_multi_train_step(cfg2, models2, tx2)
+    @jax.jit
+    def residual_quantiles(batch):
+        from mdn_sfm_tpu.data.augment import augment_batch as aug
 
-    rng2 = jax.random.PRNGKey(args.seed + 3)
-    loss2 = None
-    for d in range(max(args.steps2 // k, 1)):
-        batches = make_batches(k, step=100_000 + d * k)
-        state2, frozen2, metrics, _ = step2(state2, frozen2, batches, rng2)
-        loss2 = float(metrics["loss"])
-        if args.verbose:
-            print(f"phase2 dispatch {d}: loss={loss2:.4f}", file=sys.stderr)
-    results["loss2_final"] = loss2
+        colors, inv_Ks, _ = aug(cfg1, batch["colors_u8"], batch["K"],
+                                jax.random.PRNGKey(0), train=False)
+        tgt = colors[(0, 0)]
+        qs = []
+        for t in (-1, 1):
+            flows, _ = models.flow.apply(trained["flownet"], tgt, colors[(t, 0)])
+            aa, tr = models.pose.apply(trained["posenet"], tgt, colors[(t, 0)])
+            cam = transformation_from_parameters(aa, tr)
+            f_px = flows[0] * scale_factor(h, w)
+            e = jnp.abs(epipolar_residual(f_px, inv_Ks[0], cam[:, :3, :3], cam[:, :3, 3]))
+            qs.append(jnp.quantile(e.reshape(e.shape[0], -1),
+                                   jnp.linspace(0.0, 1.0, 100), axis=1))
+        return jnp.stack(qs)
 
-    final_vars = dict(variables2)
-    final_vars["mobile_decoder"] = {
-        "params": jax.device_get(state2.params["mobile_decoder"])
-    }
-    _, mobiles = _forward(models2, final_vars, eval_colors(cfg2))
-    mobile = np.minimum(mobiles[-1], mobiles[1])[..., 0]  # min-fused, (B, H, W)
+    all_q = [np.asarray(residual_quantiles(
+        {k2: v[0] for k2, v in make_batches(1, step=50_000 + i).items()}
+    )) for i in range(8)]
+    calibrated = float(np.percentile(np.stack(all_q).reshape(-1), 95))
+    results["calibrated_threshold_p95"] = round(calibrated, 4)
 
-    results["sep"] = float(
-        mobile[ev_mask > 0].mean() - mobile[ev_mask == 0].mean()
-    )
-    acc, prec, rec, f1s, dice = get_quantitative_results(
-        (mobile >= args.binary_threshold).astype(np.float32), ev_mask
-    )
-    results.update(
-        accuracy=acc, precision=prec, recall=rec, f1=f1s, dice=dice,
-        binary_threshold=args.binary_threshold,
-    )
-    # per-mode operating points differ (reference README.md:27-33 uses
-    # 0.18-0.48); sweep like trainer's hyper tooling would and report the best
-    best = (-1.0, None)
-    for thr in np.arange(0.05, 0.95, 0.05):
-        _, _, _, f1t, _ = get_quantitative_results(
-            (mobile >= thr).astype(np.float32), ev_mask
+    # ---------------------------------------------------- phase 2 (per mode)
+    modes = [m.strip().upper() for m in args.modes.split(",") if m.strip()]
+    per_mode: dict = {}
+    for mode_name in modes:
+        needs_masks = mode_name in ("DS", "DC")
+        cfg2 = Config(
+            height=h,
+            width=w,
+            batch_size=bs,
+            mode=Mode(mode_name),
+            alpha=0.55,
+            w_e=1.0,
+            w_s=0.1,
+            w_c=0.5,
+            # DC adds the BCE similarity term at the reference weight
+            # (options.py:80-83); DS stays pure mask×map (PARITY decision)
+            w_d2_sim=0.05 if mode_name == "DC" else 0.0,
+            threshold=calibrated,
+            # reference gauss sigmas are tuned for 128×416 (options/utils.py
+            # :355-379); scale to this world's resolution
+            gauss_sigma1=30.0 * h / 128.0,
+            gauss_sigma2=120.0 * w / 416.0,
+            # precomputed GT masks can't follow on-device flip/zoom-crop —
+            # identity augmentation keeps DS/DC supervision aligned
+            disable_augment=needs_masks,
+            learning_rate=args.lr2,
+            compute_dtype="bfloat16",
+            donate_state=False,
+            log_dir=args.log_dir,
+            load_weights_folder=folder,
+            models_to_load=("flownet", "posenet"),
+        ).validate()
+
+        models2 = T.build_models(cfg2)
+        variables2 = T.init_variables(cfg2, models2, jax.random.PRNGKey(args.seed + 2))
+        variables2, _, _ = ckpt.load_checkpoint(
+            folder, variables2, models_to_load=("flownet", "posenet")
         )
-        if np.isfinite(f1t) and f1t > best[0]:
-            best = (f1t, float(thr))
-    results["best_f1"], results["best_f1_threshold"] = best
+
+        tx2 = T.make_optimizer(cfg2, steps_per_epoch=max(args.steps2, 1))
+        state2, frozen2 = T.create_train_state(cfg2, models2, variables2, tx2)
+        step2 = T.make_multi_train_step(cfg2, models2, tx2)
+
+        rng2 = jax.random.PRNGKey(args.seed + 3)
+        loss2 = None
+        for d in range(max(args.steps2 // k, 1)):
+            batches = make_batches(k, step=100_000 + d * k, with_masks=needs_masks)
+            state2, frozen2, metrics, _ = step2(state2, frozen2, batches, rng2)
+            loss2 = float(metrics["loss"])
+            if args.verbose:
+                print(f"[{mode_name}] phase2 dispatch {d}: loss={loss2:.4f}",
+                      file=sys.stderr)
+
+        final_vars = dict(variables2)
+        final_vars["mobile_decoder"] = {
+            "params": jax.device_get(state2.params["mobile_decoder"])
+        }
+        _, mobiles = _forward(models2, final_vars, eval_colors(cfg2))
+        mobile = np.minimum(mobiles[-1], mobiles[1])[..., 0]  # min-fused, (B, H, W)
+
+        row: dict = {"loss_final": loss2}
+        row["sep"] = float(mobile[ev_mask > 0].mean() - mobile[ev_mask == 0].mean())
+        acc, prec, rec, f1s, dice = get_quantitative_results(
+            (mobile >= args.binary_threshold).astype(np.float32), ev_mask
+        )
+        row.update(accuracy=acc, precision=prec, recall=rec, f1=f1s, dice=dice,
+                   binary_threshold=args.binary_threshold)
+        # per-mode operating points differ (reference README.md:27-33 uses
+        # 0.18-0.48); sweep like the README harness would, report the best
+        best = (-1.0, None)
+        for thr in np.arange(0.05, 0.95, 0.05):
+            _, _, _, f1t, _ = get_quantitative_results(
+                (mobile >= thr).astype(np.float32), ev_mask
+            )
+            if np.isfinite(f1t) and f1t > best[0]:
+                best = (f1t, float(thr))
+        row["best_f1"], row["best_f1_threshold"] = best
+        per_mode[mode_name] = {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                               for kk, vv in row.items()}
+
+    results["modes"] = per_mode
+    # round-3 compatible top-level fields = first mode's row
+    if per_mode:
+        first = per_mode[modes[0]]
+        results.update({kk: first[kk] for kk in
+                        ("sep", "accuracy", "precision", "recall", "f1", "dice",
+                         "best_f1", "best_f1_threshold")})
+        results["loss2_final"] = first["loss_final"]
     return results
 
 
@@ -278,6 +358,8 @@ def main() -> None:
     p.add_argument("--lr1", type=float, default=3e-4)
     p.add_argument("--lr2", type=float, default=1e-4)
     p.add_argument("--binary_threshold", type=float, default=0.5)
+    p.add_argument("--modes", default="SN,T,TG,DS,DC",
+                   help="comma-separated phase-2 training modes")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", default="/tmp/mdn_e2e_log")
     p.add_argument("--verbose", action="store_true")
