@@ -125,6 +125,12 @@ class Config:
     num_workers: int = 4
     limit_train_samples: int = 0  # >0: truncate the train set (smoke runs /
                                   # quick experiments; no reference analog)
+    cache_decoded: str = ""  # directory for the decoded-sample disk cache
+    # (data/cache.py): epoch 1 decodes and memoizes, epoch 2+ reads memmaps.
+    # Sound because augmentation is on-device — the host output per item is
+    # deterministic. ~1.1 MB/triplet at 192x640 (44 GB for eigen_zhou); the
+    # reference instead burns 12 DataLoader worker processes every epoch
+    # (options.py:175-178). No reference flag.
 
     # LOADING (options.py:181-196)
     models_to_load: tuple[str, ...] = ("flownet", "posenet", "mobile_decoder")
@@ -303,7 +309,7 @@ _TRAIN_FIELDS = [
     "no_ssim", "weights_init", "pose_model_input",
     "disable_photoloss", "disable_consisloss", "disable_min", "disable_smoothloss",
     "disable_augment",
-    "num_workers", "limit_train_samples",
+    "num_workers", "limit_train_samples", "cache_decoded",
     "models_to_load", "load_adam", "v_load", "idx_load", "resume",
     "log_frequency", "save_frequency", "v_save",
     "mask_provider", "mask_dir", "d2_score_thresh", "d2_max_instances",

@@ -9,12 +9,14 @@ decode+augment path).
 """
 
 from .augment import augment_batch, eval_preprocess, MEAN, STD
+from .cache import DecodedCache
 from .splits import read_split_lines, split_path
 from .kitti import KittiRawDataset, parse_calib_intrinsics
 from .loader import HostLoader, Subset
 from .synthetic import synthetic_batch
 
 __all__ = [
+    "DecodedCache",
     "Subset",
     "augment_batch",
     "eval_preprocess",

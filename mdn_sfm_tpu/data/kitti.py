@@ -94,6 +94,16 @@ class KittiRawDataset:
     def __len__(self) -> int:
         return len(self.lines)
 
+    def cache_key(self) -> str:
+        """Identity of this reader's decoded output for
+        :class:`mdn_sfm_tpu.data.cache.DecodedCache` — everything that
+        changes the per-item arrays."""
+        lines = ";".join(f"{l.folder} {l.frame_index} {l.side}" for l in self.lines)
+        return (
+            f"kitti:{self.data_path}:{self.height}x{self.width}"
+            f":{self.frame_ids}:{self.img_ext}:{lines}"
+        )
+
     def image_path(self, folder: str, frame_index: int, side: str) -> str:
         """(reference: kitti_dataset.py:72-76)"""
         f_str = f"{frame_index:010d}{self.img_ext}"

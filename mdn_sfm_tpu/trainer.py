@@ -98,6 +98,13 @@ class Trainer:
             dataset = KittiRawDataset(
                 cfg.data_path, lines, cfg.height, cfg.width, cfg.frame_ids, img_ext
             )
+            if cfg.cache_decoded:
+                from .data.cache import DecodedCache
+
+                # sound because augmentation is on-device: the host output
+                # per item is a pure function of (bytes, H, W) — see
+                # data/cache.py. Each host caches only its manifest shard.
+                dataset = DecodedCache(dataset, cfg.cache_decoded)
             self.sample_keys = [f"{l.folder.replace('/', '_')}_{l.frame_index}" for l in lines]
 
         self.train_loader = HostLoader(

@@ -119,3 +119,112 @@ def make_raw_drive(root: str, drive: str = "2011_09_26/2011_09_26_drive_0001_syn
     with open(os.path.join(root, day, "calib_cam_to_cam.txt"), "w") as f:
         f.write(_calib_text(w, h))
     return [f"{drive} {i} l" for i in range(1, n_frames - 1)]
+
+
+def make_street_scene(h: int = 375, w: int = 1242, n_objects: int = 3,
+                      seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Street-like frame for the crafted brightness detector (below): dark
+    textured background + bright elliptical "vehicles". Returns
+    (uint8 RGB (h, w, 3), bool GT object mask (h, w))."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(10, 40, (h, w, 3)).astype(np.uint8)
+    gt = np.zeros((h, w), bool)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(n_objects):
+        oh = int(h * rng.uniform(0.12, 0.28))
+        ow = int(oh * rng.uniform(1.2, 2.4))
+        cy = int(rng.uniform(oh, h - oh))
+        cx = int(rng.uniform(ow, w - ow))
+        ell = ((ys - cy) / (oh / 2)) ** 2 + ((xs - cx) / (ow / 2)) ** 2 <= 1.0
+        shade = rng.integers(200, 255)
+        img[ell] = shade
+        gt |= ell
+    return img, gt
+
+
+def craft_brightness_detector(variables) -> dict:
+    """Hand-set Mask R-CNN weights that detect BRIGHT regions scale-covariantly.
+
+    Purpose: measuring how the training-time provider's reduced inference
+    resolution (``d2_infer_scale``, PARITY.md quirk table) shifts the union
+    masks vs the reference-res 1024-edge backend needs a detector whose
+    output tracks image CONTENT the same way at every input resolution —
+    random weights are maximally scale-sensitive and would only measure
+    noise. This detector computes local mean brightness through the whole
+    R50-FPN (channel 0 everywhere), proposes anchors where it is high, scores
+    boxes by pooled ROI brightness, and masks the bright sub-region — so any
+    cross-resolution disagreement is the PIPELINE's (anchor coverage, NMS
+    budget, 28x28 mask resolution, paste), not the features'.
+
+    Wiring (all other weights zero, all BN identity):
+      stem conv1        -> channel 0 = mean over the 7x7x3 window
+      res{s}_0 shortcut -> strided 1x1 pass-through of channel 0
+                           (main paths zero, so blocks are subsamplers)
+      FPN lateral/output-> pass-through; output scaled 1/#accumulated levels
+                           so every P-level carries ~the same brightness value
+      RPN               -> objectness = 0.1*brightness - 7 (fires > ~70)
+      box head          -> fc1 unit0 = mean ROI brightness; class-0 logit =
+                           0.1*unit0 - 4 vs background 0 (bright ROI ~0.99,
+                           dark ROI below score_thresh); deltas zero
+      mask head         -> predictor logit = 0.1*brightness - 7 per pixel
+
+    Input ``variables`` is any init tree of masks.maskrcnn.MaskRCNN (the
+    param shapes are input-resolution independent); returns a new tree.
+    """
+    import jax
+
+    # works on concrete trees AND jax.eval_shape ShapeDtypeStruct trees
+    tree = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), variables)
+    params, stats = tree["params"], tree["batch_stats"]
+
+    def walk(t, fn, path=()):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                walk(v, fn, path + (k,))
+            else:
+                t[k] = fn(path + (k,), v)
+
+    def default(path, arr):
+        leaf = path[-1]
+        if leaf == "scale":
+            return np.ones_like(arr)   # BN identity
+        if leaf == "var":
+            return np.ones_like(arr)
+        return arr  # kernels/biases/means stay zero
+
+    walk(params, default)
+    walk(stats, default)
+
+    bu = params["bottom_up"]
+    bu["stem_conv1"]["kernel"][:, :, :, 0] = 1.0 / (7 * 7 * 3)
+    for st in (2, 3, 4, 5):
+        bu[f"res{st}_0"]["downsample_conv"]["kernel"][0, 0, 0, 0] = 1.0
+
+    fpn = params["fpn"]
+    n_accum = {2: 4.0, 3: 3.0, 4: 2.0, 5: 1.0}  # top-down sum depth per level
+    for i in (2, 3, 4, 5):
+        fpn[f"fpn_lateral{i}"]["kernel"][0, 0, 0, 0] = 1.0
+        fpn[f"fpn_output{i}"]["kernel"][1, 1, 0, 0] = 1.0 / n_accum[i]
+
+    rpn = params["rpn_head"]
+    rpn["conv"]["kernel"][1, 1, 0, 0] = 1.0
+    rpn["objectness_logits"]["kernel"][0, 0, 0, :] = 0.1
+    rpn["objectness_logits"]["bias"][:] = -7.0
+
+    bh = params["box_head"]
+    bh["fc1"]["kernel"][0:49, 0] = 1.0 / 49.0  # NCHW-flat: ch0 = indices 0..48
+    bh["fc2"]["kernel"][0, 0] = 1.0
+    bh["cls_score"]["kernel"][0, 0] = 0.1
+    bh["cls_score"]["bias"][:-1] = -4.0  # class 0 also gets +0.1*brightness
+    bh["cls_score"]["bias"][-1] = 0.0    # background logit; boxes pass the
+    # 0.3 score threshold when mean ROI brightness > ~32 (partially-covered
+    # anchor boxes around a ~140-bright object still score)
+    # bbox_pred zero -> detections keep proposal boxes
+
+    mh = params["mask_head"]
+    for i in (1, 2, 3, 4):
+        mh[f"mask_fcn{i}"]["kernel"][1, 1, 0, 0] = 1.0
+    mh["deconv"]["kernel"][:, :, 0, 0] = 1.0
+    mh["predictor"]["kernel"][0, 0, 0, :] = 0.1
+    mh["predictor"]["bias"][:] = -7.0
+    return tree

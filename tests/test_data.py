@@ -175,3 +175,75 @@ class TestLoader:
         l1 = HostLoader(ds, batch_size=4, num_workers=2, seed=5)
         l2 = HostLoader(ds, batch_size=4, num_workers=2, seed=5)
         np.testing.assert_array_equal(next(iter(l1))[0][0], next(iter(l2))[0][0])
+
+
+class TestDecodedCache:
+    """data/cache.py: decoded-sample disk cache (PARITY: e2e throughput —
+    sound because augmentation is on-device, so host output per item is a
+    pure function of (bytes, H, W))."""
+
+    def _kitti(self, root, h=48, w=96):
+        from fixtures import make_raw_drive
+        from mdn_sfm_tpu.data.kitti import KittiRawDataset
+
+        lines = [SplitLine.parse(s) for s in make_raw_drive(root, h=h, w=w, n_frames=6)]
+        return KittiRawDataset(root, lines, h, w)
+
+    def test_roundtrip_bitexact_and_persistent(self):
+        from mdn_sfm_tpu.data.cache import DecodedCache
+
+        with tempfile.TemporaryDirectory() as root, \
+                tempfile.TemporaryDirectory() as cdir:
+            base = self._kitti(root)
+            ref = [base[i] for i in range(len(base))]
+
+            cache = DecodedCache(base, cdir)
+            assert len(cache) == len(base)
+            for i in range(len(cache)):   # fill pass
+                got = cache[i]
+                for a, b in zip(got, ref[i]):
+                    np.testing.assert_array_equal(a, b)
+            assert cache.hit_fraction == 1.0
+
+            # a FRESH instance must serve every item from disk: poison the
+            # base reader so any decode attempt fails loudly
+            base2 = self._kitti(root)
+            base2.__dict__["data_path"] = "/nonexistent"
+            reopened = DecodedCache(self._kitti(root), cdir)  # probe item ok
+            reopened.dataset = base2
+            for i in range(len(reopened)):
+                got = reopened[i]
+                for a, b in zip(got, ref[i]):
+                    np.testing.assert_array_equal(a, b)
+
+    def test_fingerprint_separates_configs(self):
+        from mdn_sfm_tpu.data.cache import DecodedCache
+
+        with tempfile.TemporaryDirectory() as root, \
+                tempfile.TemporaryDirectory() as cdir:
+            c1 = DecodedCache(self._kitti(root, h=48, w=96), cdir)
+            c2 = DecodedCache(self._kitti(root, h=32, w=64), cdir)
+            assert c1.path != c2.path  # different resolution, different cache
+
+    def test_under_hostloader_threads(self):
+        from mdn_sfm_tpu.data.cache import DecodedCache
+
+        with tempfile.TemporaryDirectory() as root, \
+                tempfile.TemporaryDirectory() as cdir:
+            base = self._kitti(root)
+            cache = DecodedCache(base, cdir)
+            plain = list(HostLoader(base, 2, num_workers=4, seed=3))
+            cached_cold = list(HostLoader(cache, 2, num_workers=4, seed=3))
+            cached_warm = list(HostLoader(cache, 2, num_workers=4, seed=3))
+            # HostLoader(seed) restarts its epoch counter, so orders match
+            for (a, _), (b, _), (c, _) in zip(plain, cached_cold, cached_warm):
+                for x, y, z in zip(a, b, c):
+                    np.testing.assert_array_equal(x, y)
+                    np.testing.assert_array_equal(x, z)
+
+    def test_requires_identity(self):
+        from mdn_sfm_tpu.data.cache import DecodedCache
+
+        with tempfile.TemporaryDirectory() as cdir:
+            with pytest.raises(ValueError, match="identity"):
+                DecodedCache(SyntheticDataset(4, 32, 48), cdir)

@@ -659,3 +659,75 @@ class TestScoreThreshWiring:
         prov = M.MaskRCNNProvider(cfg)
         assert prov.model.score_thresh == 0.7
         assert prov.model.pre_nms_topk == M.FAST_BUDGET["pre_nms_topk"]
+
+
+class TestInferScaleDeviation:
+    """Pins the d2_infer_scale resolution quirk (PARITY.md quirk table): the
+    training-time provider infers at a reduced resolution while the reference
+    pipeline (our GT-tooling backend) runs shortest-edge-1024. With the
+    crafted scale-covariant brightness detector (tests/fixtures.py) the union
+    masks must agree up to pipeline discretization — this test pins that
+    agreement at small shapes; tools/quantify_d2_scale.py measures it at the
+    real 375x1242 / 1024-edge sizes on TPU."""
+
+    def test_provider_scales_agree_with_backend(self):
+        import cv2
+        from fixtures import craft_brightness_detector, make_street_scene
+
+        from mdn_sfm_tpu.config import Config, Mode
+
+        h, w = 64, 128          # training res; street "full res" = 2x
+        fh, fw = 128, 256
+        shapes = jax.eval_shape(
+            M.MaskRCNN(max_det=8).init, jax.random.PRNGKey(0),
+            jnp.zeros((64, 64, 3)), jnp.array(64.0), jnp.array(64.0),
+        )
+        crafted = jax.tree.map(jnp.asarray, craft_brightness_detector(shapes))
+
+        backend = M.MaskRCNNBackend(max_det=8, fast=True, input_hw=(fh, fw))
+        backend.variables = crafted
+
+        ious = {}
+        for scale in (1, 2):
+            cfg = Config(height=h, width=w, mode=Mode.DS,
+                         mask_provider="maskrcnn", d2_max_instances=8,
+                         d2_infer_scale=scale,
+                         d2_allow_random_weights=True).validate()
+            prov = M.MaskRCNNProvider(cfg)
+            prov.variables = crafted
+
+            vals = []
+            for seed in (0, 1):
+                img, gt = make_street_scene(h=fh, w=fw, n_objects=2, seed=seed)
+                masks, _b, _c, _s = backend.predict(img)
+                assert masks.shape[0] >= 1, "backend found nothing — vacuous"
+                ref_full = masks.any(axis=0).astype(np.float32)
+                ref = cv2.resize(ref_full, (w, h),
+                                 interpolation=cv2.INTER_AREA) > 0.5
+                # backend union must track the bright GT objects at all
+                gt_small = cv2.resize(gt.astype(np.float32), (w, h),
+                                      interpolation=cv2.INTER_AREA) > 0.5
+                assert _mask_iou(ref, gt_small) > 0.2
+
+                u = np.asarray(
+                    prov.union_masks_from_images(img[None], h, w))[0] > 0.5
+                vals.append(_mask_iou(u, ref))
+            ious[scale] = float(np.mean(vals))
+
+        # Measured (this exact setup): scale2 IoU 0.926/0.956, scale1
+        # 0.167/0.461. Scale 2 sees the backend's exact pixels (fh x fw) —
+        # the remaining ~5% gap is FAST_BUDGET pruning + bf16 ROIAlign +
+        # paste quantization. Scale 1 halves the pixels: these miniature
+        # objects (8-18 px) drop below P2 anchor coverage — the real
+        # deviation mechanism this test pins. At production sizes
+        # (tools/quantify_d2_scale.py: 375x1242 scenes, 1024-edge backend vs
+        # 192x640-training providers) the ordering is the same; measured
+        # numbers live in PARITY.md's quirk discussion.
+        assert ious[2] > 0.85, ious
+        assert ious[1] > 0.2, ious
+        assert ious[2] > ious[1], ious
+
+
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    a, b = np.asarray(a, bool), np.asarray(b, bool)
+    return float((a & b).sum() / max((a | b).sum(), 1))
