@@ -469,6 +469,12 @@ class Trainer:
             self._run_epoch_multi(skip)
         else:
             self._run_epoch_single(skip)
+        hit = getattr(self.train_loader.dataset, "hit_fraction", None)
+        if hit is not None and hit < 1.0:
+            # --cache_decoded diagnostic: < 1.0 after an epoch means the
+            # fill is still in progress (resumed mid-epoch run, or items
+            # skipped by drop_last)
+            print(f"decoded cache: {hit:.1%} of items cached")
 
     def _run_epoch_single(self, skip: int = 0):
         cfg = self.cfg
