@@ -21,7 +21,8 @@ NOMINAL_PYTORCH_GPU_FPS = 40.0
 HEIGHT, WIDTH = 192, 640
 BATCH = 4
 K_STEPS = 16   # optimizer steps fused per device dispatch (lax.scan)
-ROUNDS = 3     # timed dispatches
+ROUNDS = 3     # dispatches per timed group (one sync at group end)
+GROUPS = 7     # timed groups; reported value = median fps across groups
 
 
 def main(mode_name: str = "TG") -> None:
@@ -83,13 +84,22 @@ def main(mode_name: str = "TG") -> None:
     state, frozen, metrics, _ = kstep(state, frozen, batches, rng)
     float(jax.device_get(metrics["loss"]))
 
-    t0 = time.perf_counter()
-    for _ in range(ROUNDS):
-        state, frozen, metrics, _ = kstep(state, frozen, batches, rng)
-    float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
+    # The measurement unit is unchanged from earlier rounds (ROUNDS dispatches
+    # back-to-back, one sync) so values stay comparable with BENCH_r0*; it is
+    # now repeated GROUPS times and the median + spread reported, because a
+    # single group through the axon tunnel has multi-f/s run-to-run noise
+    # (round-4 VERDICT: an unpinned 262→252 drift read as a regression).
+    fps_samples = []
+    for _ in range(GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS):
+            state, frozen, metrics, _ = kstep(state, frozen, batches, rng)
+        float(jax.device_get(metrics["loss"]))
+        dt = time.perf_counter() - t0
+        fps_samples.append(BATCH * K_STEPS * ROUNDS / dt)
 
-    fps = BATCH * K_STEPS * ROUNDS / dt
+    fps_samples.sort()
+    fps = fps_samples[len(fps_samples) // 2]
     print(
         json.dumps(
             {
@@ -97,6 +107,9 @@ def main(mode_name: str = "TG") -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / NOMINAL_PYTORCH_GPU_FPS, 3),
+                "median_of": len(fps_samples),
+                "min": round(fps_samples[0], 2),
+                "max": round(fps_samples[-1], 2),
             }
         )
     )

@@ -16,8 +16,12 @@ import dataclasses
 import enum
 import json
 import os
+import sys
 from dataclasses import dataclass, field
 from typing import Sequence
+
+# one-shot guard for the DS/DC live-provider fidelity warning in validate()
+_WARNED_D2_SCALE = False
 
 
 class Mode(str, enum.Enum):
@@ -238,6 +242,30 @@ class Config:
         assert self.frame_ids[0] == 0, "frame_ids must start with 0"
         assert self.mode in Mode
         assert self.accum_steps >= 1, "'accum_steps' must be >= 1"
+        # DS/DC + live provider below the reference's shortest-edge-1024
+        # inference res trains on measurably different union masks
+        # (union-IoU 0.79 @ scale 2, 0.56 when max_det saturates —
+        # tools/quantify_d2_scale.py; PARITY.md "d2 inference resolution").
+        # Warn once so a README-comparison run is never silently off-spec.
+        ref_equiv_scale = 1024 / min(self.height, self.width)
+        if (
+            self.mode in (Mode.DS, Mode.DC)
+            and self.mask_provider == "maskrcnn"
+            and self.d2_infer_scale < ref_equiv_scale
+        ):
+            global _WARNED_D2_SCALE
+            if not _WARNED_D2_SCALE:
+                _WARNED_D2_SCALE = True
+                print(
+                    f"WARNING: mode={self.mode.value} with the live maskrcnn provider at "
+                    f"d2_infer_scale={self.d2_infer_scale} (< reference-equivalent "
+                    f"{ref_equiv_scale:.1f} for {self.height}x{self.width}) trains on union "
+                    "masks that deviate from the reference's 1024-edge pipeline (measured "
+                    "union-IoU 0.79 @ scale 2 — tools/quantify_d2_scale.py). For strict "
+                    "DS/DC reproduction precompute 1024-edge masks with "
+                    "tools/precompute_masks.py and use mask_provider=precomputed.",
+                    file=sys.stderr,
+                )
         return self
 
     def to_json(self) -> str:

@@ -25,12 +25,28 @@ class SplitLine(NamedTuple):
         return cls(folder, frame_index, side)
 
 
+def sample_key(line: SplitLine) -> str:
+    """Canonical per-sample key shared by the trainer's mask-provider lookup
+    and ``tools/precompute_masks.py`` mask filenames:
+    ``{folder with / -> _}_{frame_index}_{side}``.
+
+    The side IS part of the key: eigen_zhou pairs l/r manifest lines for
+    17,930 (folder, frame) combinations and the two cameras see different
+    scenes — a side-less key would serve one camera's precomputed mask to
+    the other (the pre-round-5 scheme did exactly that)."""
+    return f"{line.folder.replace('/', '_')}_{line.frame_index}_{line.side}"
+
+
 def split_path(repo_root: str, split: str, subset: str) -> str:
     """Path to ``splits/<split>/<subset>_files.txt`` (trainer.py:59-60).
 
-    Manifests are vendored gzip-compressed (they are dataset file lists);
-    the .gz variant is returned when the plain file is absent."""
-    plain = os.path.join(repo_root, "splits", split, f"{subset}_files.txt")
+    ``split`` may also be an ABSOLUTE directory containing the manifest
+    files — custom splits outside the repo (and test fixtures) train without
+    writing into ``splits/``. Manifests are vendored gzip-compressed (they
+    are dataset file lists); the .gz variant is returned when the plain file
+    is absent."""
+    base = split if os.path.isabs(split) else os.path.join(repo_root, "splits", split)
+    plain = os.path.join(base, f"{subset}_files.txt")
     return plain if os.path.exists(plain) else plain + ".gz"
 
 

@@ -51,13 +51,16 @@ def synthetic_batch(
     return colors, K
 
 
-def _smooth_texture(rng: np.random.Generator, height: int, width: int) -> np.ndarray:
-    """Low-frequency RGB texture in [0, 255] with non-zero gradients
+def _smooth_texture(
+    rng: np.random.Generator, height: int, width: int,
+    lo: float = 0.0, hi: float = 255.0,
+) -> np.ndarray:
+    """Low-frequency RGB texture in [lo, hi] with non-zero gradients
     everywhere (bilinear upsample of coarse noise — piecewise-constant
     textures give the photometric loss no gradient inside each block)."""
     import cv2
 
-    low = rng.uniform(0, 255, size=(max(height // 8, 2), max(width // 8, 2), 3))
+    low = rng.uniform(lo, hi, size=(max(height // 8, 2), max(width // 8, 2), 3))
     return cv2.resize(low.astype(np.float32), (width, height), interpolation=cv2.INTER_LINEAR)
 
 
@@ -70,6 +73,7 @@ def moving_object_batch(
     bg_shift: int = 2,
     obj_shift: int = 3,
     obj_size: int | None = None,
+    bright_object: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[int]]:
     """Synthetic world with a KNOWN moving object, for end-to-end validation
     of the two-stage protocol (photometric flow training → epipolar mobile
@@ -106,8 +110,16 @@ def moving_object_batch(
     gt_flows = np.zeros((batch_size, num_frames, height, width, 2), np.float32)
 
     for b in range(batch_size):
-        base = _smooth_texture(rng, height, width)
-        patch = _smooth_texture(rng, obj_size, obj_size)
+        # bright_object: dark background (10-60) + bright patch (200-255) —
+        # makes the moving object detectable by the crafted brightness
+        # Mask R-CNN (tests/fixtures.py::craft_brightness_detector) so the
+        # DS/DC provider paths can be rehearsed end-to-end on this world
+        if bright_object:
+            base = _smooth_texture(rng, height, width, lo=10, hi=60)
+            patch = _smooth_texture(rng, obj_size, obj_size, lo=200, hi=255)
+        else:
+            base = _smooth_texture(rng, height, width)
+            patch = _smooth_texture(rng, obj_size, obj_size)
         # keep the patch clear of image borders at every frame offset
         y0 = int(rng.integers(margin, height - obj_size - margin))
         x0 = int(

@@ -20,7 +20,7 @@ from . import checkpoints as ckpt
 from . import training as T
 from .config import Config, Mode
 from .data import HostLoader, KittiRawDataset, read_split_lines, split_path
-from .data.splits import shard_for_host
+from .data.splits import sample_key, shard_for_host
 from .data.synthetic import SyntheticDataset
 from .masks import build_mask_provider
 from .parallel import make_mesh, replicate, shard_batch
@@ -105,7 +105,8 @@ class Trainer:
                 # per item is a pure function of (bytes, H, W) — see
                 # data/cache.py. Each host caches only its manifest shard.
                 dataset = DecodedCache(dataset, cfg.cache_decoded)
-            self.sample_keys = [f"{l.folder.replace('/', '_')}_{l.frame_index}" for l in lines]
+            # canonical mask-lookup keys (shared with tools/precompute_masks.py)
+            self.sample_keys = [sample_key(l) for l in lines]
 
         self.train_loader = HostLoader(
             dataset,
@@ -118,6 +119,22 @@ class Trainer:
         self.steps_per_epoch = len(self.train_loader)
         self.num_total_steps = self.steps_per_epoch * cfg.num_epochs
         self.mask_provider = build_mask_provider(cfg)
+        # PrecomputedMaskProvider serves ZEROS for missing files (by design —
+        # partial coverage is fine), so a mask_dir/key-scheme mismatch would
+        # silently train DS/DC against all-zero masks. Probe a sample of keys
+        # and fail fast when NOTHING matches.
+        if cfg.mask_provider == "precomputed" and self.sample_keys:
+            probe = self.sample_keys[:: max(1, len(self.sample_keys) // 100)]
+            hits = sum(
+                os.path.exists(os.path.join(cfg.mask_dir, f"{k}.png")) for k in probe
+            )
+            if hits == 0:
+                raise FileNotFoundError(
+                    f"mask_provider=precomputed found 0/{len(probe)} probed keys in "
+                    f"{cfg.mask_dir!r} (e.g. {probe[0]}.png) — every mask would load "
+                    "as zeros. Generate masks with tools/precompute_masks.py "
+                    "(the key scheme is data/splits.py::sample_key)."
+                )
 
         # inline validation set (reference: trainer.py:76-80) — KITTI-2015
         # scene-flow pairs; skipped when the data isn't on disk

@@ -121,6 +121,28 @@ def make_raw_drive(root: str, drive: str = "2011_09_26/2011_09_26_drive_0001_syn
     return [f"{drive} {i} l" for i in range(1, n_frames - 1)]
 
 
+def make_bright_raw_drive(
+    root: str, drive: str = "2011_09_26/2011_09_26_drive_0001_sync",
+    n_frames: int = 4, h: int = 64, w: int = 96, n_objects: int = 2,
+    seed: int = 7,
+) -> tuple[list[str], list[np.ndarray]]:
+    """KITTI raw drive whose frames are bright-object street scenes
+    (``make_street_scene``) — detectable by ``craft_brightness_detector``.
+    Returns (split lines, per-frame bool GT object masks)."""
+    day = drive.split("/")[0]
+    img_dir = os.path.join(root, drive, "image_02", "data")
+    os.makedirs(img_dir, exist_ok=True)
+    gts = []
+    for i in range(n_frames):
+        img, gt = make_street_scene(h, w, n_objects=n_objects, seed=seed + i)
+        _write_png8(os.path.join(img_dir, f"{i:010d}.png"), img)
+        gts.append(gt)
+    os.makedirs(os.path.join(root, day), exist_ok=True)
+    with open(os.path.join(root, day, "calib_cam_to_cam.txt"), "w") as f:
+        f.write(_calib_text(w, h))
+    return [f"{drive} {i} l" for i in range(1, n_frames - 1)], gts
+
+
 def make_street_scene(h: int = 375, w: int = 1242, n_objects: int = 3,
                       seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Street-like frame for the crafted brightness detector (below): dark

@@ -30,6 +30,24 @@ class TestAuditSharding:
         other = {k: s for k, s in stats.items() if k != "all-reduce"}
         assert not other, f"partitioner-invented collectives: {other}"
 
+    def test_ds_fused_step_emits_grad_allreduce_only(self):
+        # the round-3 GSPMD failure mode was PROVIDER-dependent (232 invented
+        # collectives with the DS Mask R-CNN fused into the step); pin the
+        # fused path's collective set too so a future edit can't silently
+        # reintroduce resharding collectives through the mask branch
+        # (round-4 VERDICT item 5)
+        out = audit_sharding.audit(
+            n=8, mode_name="DS", height=32, width=64, batch=8,
+            fine_tune=False, provider="maskrcnn", verbose=False,
+        )
+        stats = out["collectives"]
+        assert "all-reduce" in stats, f"no gradient all-reduce emitted: {stats}"
+        ar = stats["all-reduce"]
+        assert ar["bytes"] >= out["param_bytes"], (ar, out["param_bytes"])
+        assert ar["bytes"] <= 3 * out["param_bytes"], (ar, out["param_bytes"])
+        other = {k: s for k, s in stats.items() if k != "all-reduce"}
+        assert not other, f"partitioner-invented collectives: {other}"
+
     def test_collective_parser(self):
         hlo = """
   %ar = f32[1024]{0} all-reduce(f32[1024]{0} %x), replica_groups={}

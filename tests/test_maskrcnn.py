@@ -509,6 +509,7 @@ class TestFusedProviderStep:
             float(m_host["loss"]), rel=1e-6, abs=1e-7
         )
 
+    @pytest.mark.slow  # ~4 min: fused Mask R-CNN step over the 8-dev mesh
     def test_fused_step_data_parallel(self, provider):
         """The fused provider must shard over Mesh('data') like the rest of
         the step: per-device batch slices run the Mask R-CNN vmap locally,
@@ -609,6 +610,7 @@ class TestTorchPipelineParity:
 
 
 class TestSpatialSharding:
+    @pytest.mark.slow  # ~90 s: 8-shard spatial mesh vs single device
     def test_spatial_mesh_matches_single_device(self):
         """The width-sharded backend (image spatially partitioned over an
         8-device 'spatial' mesh, conv halos inserted by GSPMD) must reproduce
@@ -670,6 +672,7 @@ class TestInferScaleDeviation:
     agreement at small shapes; tools/quantify_d2_scale.py measures it at the
     real 375x1242 / 1024-edge sizes on TPU."""
 
+    @pytest.mark.slow  # ~70 s: three full pipelines at different scales
     def test_provider_scales_agree_with_backend(self):
         import cv2
         from fixtures import craft_brightness_detector, make_street_scene

@@ -40,6 +40,7 @@ class TestShardForHost:
 
 
 class TestTwoProcessTraining:
+    @pytest.mark.slow  # ~6 min: 2 OS processes + 2 Gloo handshakes
     def test_dryrun_end_to_end(self, tmp_path):
         """Full 2-process contract: disjoint host shards feed a 4-device
         global mesh, post-training params are BITWISE identical on both

@@ -1,0 +1,140 @@
+"""Fixture-world e2e of the STRICT DS/DC workflow (round-4 VERDICT item 2):
+precompute reference-res union masks for a TRAIN split with the crafted
+brightness detector (tools/precompute_masks.py), then prove the REAL
+on-disk Trainer path serves exactly those masks through
+PrecomputedMaskProvider under its own sample-key scheme.
+
+Reference supervision path being reproduced: live detectron2 inference per
+batch (reference trainer.py:278-279) — the precompute tool is our
+reference-fidelity offline equivalent (PARITY.md "d2 inference resolution").
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from fixtures import craft_brightness_detector, make_bright_raw_drive
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_raw"))
+    lines, gts = make_bright_raw_drive(root, h=H, w=W, n_frames=4)
+    split_dir = str(tmp_path_factory.mktemp("split"))
+    with open(os.path.join(split_dir, "train_files.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root, split_dir, lines, gts
+
+
+@pytest.fixture(scope="module")
+def backend():
+    import mdn_sfm_tpu.masks.maskrcnn as M
+
+    shapes = jax.eval_shape(
+        M.MaskRCNN(max_det=8).init, jax.random.PRNGKey(0),
+        jnp.zeros((64, 64, 3)), jnp.array(64.0), jnp.array(64.0),
+    )
+    crafted = jax.tree.map(jnp.asarray, craft_brightness_detector(shapes))
+    # small static input keeps the CPU compile affordable; the shortest-edge
+    # logic is identical to the 1024-edge production shape. Scale 4 because
+    # the crafted detector's 7x7 stem blur under-segments tiny objects at
+    # lower inference res (measured: IoU 0.33 @ scale 2 vs 0.6 @ scale 4 on
+    # these fixtures — the same anchor/blur mechanism quantify_d2_scale.py
+    # measures at production sizes)
+    be = M.MaskRCNNBackend(max_det=24, input_hw=(256, 384))
+    be.variables = crafted
+    return be
+
+
+class TestPrecomputeMasks:
+    def test_tool_writes_trainer_keys_and_trainer_serves_them(
+        self, world, backend, tmp_path
+    ):
+        from precompute_masks import manifest_items, precompute_masks
+
+        from mdn_sfm_tpu.data.splits import SplitLine, sample_key
+
+        root, split_dir, line_strs, gts = world
+        lines = [SplitLine.parse(s) for s in line_strs]
+        items = manifest_items(root, lines, ".png")
+        assert len(items) == len(lines)  # unique (folder, frame, side)
+
+        mask_dir = str(tmp_path / "masks")
+        stats = precompute_masks(backend, items, mask_dir, log_every=0)
+        assert stats["written"] == len(items)
+        assert stats["failed"] == 0
+
+        # files exist under the trainer's exact key scheme; each written mask
+        # IS the backend's union (tool fidelity), and it segments the bright
+        # GT objects (precision high; recall limited by the crafted
+        # detector's stem blur at this scale, not by the tool)
+        from PIL import Image
+
+        for ln in lines:
+            p = os.path.join(mask_dir, f"{sample_key(ln)}.png")
+            assert os.path.exists(p), p
+            m = np.asarray(Image.open(p)) != 0
+            img_path = os.path.join(root, ln.folder, "image_02/data",
+                                    f"{ln.frame_index:010d}.png")
+            with Image.open(img_path) as im:
+                pred, _, _, _ = backend.predict(np.asarray(im.convert("RGB")))
+            expected_union = (
+                np.any(pred != 0, axis=0) if len(pred) else np.zeros_like(m)
+            )
+            np.testing.assert_array_equal(m, expected_union)
+            gt = gts[ln.frame_index]
+            inter = (m & gt).sum()
+            assert inter / max(m.sum(), 1) > 0.8, "masks off the GT objects"
+            assert inter / max(gt.sum(), 1) > 0.4, "masks miss the GT objects"
+
+        # resumable: a second run skips every existing file
+        stats2 = precompute_masks(backend, items, mask_dir, log_every=0)
+        assert stats2 == {"written": 0, "skipped": len(items), "failed": 0,
+                          "empty": 0}
+
+        # REAL Trainer on-disk path (absolute split dir): the device batch's
+        # instance_mask must BE the precomputed masks, not silent zeros
+        from mdn_sfm_tpu.config import Config, Mode
+        from mdn_sfm_tpu.trainer import Trainer
+
+        cfg = Config(
+            height=H, width=W, batch_size=2, mode=Mode.DS,
+            mask_provider="precomputed", mask_dir=mask_dir,
+            data_path=root, split=split_dir, png=True,
+            disable_augment=True, num_workers=0,
+            log_dir=str(tmp_path / "log"),
+        ).validate()
+        tr = Trainer(cfg, synthetic=False)
+        arrays, idxs = next(iter(tr.train_loader.iter_batches(0)))
+        keys = [tr.sample_keys[int(i)] for i in idxs]
+        batch = tr._device_batch(arrays, keys)
+        assert "instance_mask" in batch
+        masks = np.asarray(batch["instance_mask"])
+        assert masks.shape == (2, H, W)
+        expected = tr.mask_provider.union_masks(keys, H, W)
+        np.testing.assert_array_equal(masks, expected)
+        assert masks.sum() > 0, "trainer served all-zero precomputed masks"
+
+    def test_trainer_fails_fast_on_empty_mask_dir(self, world, tmp_path):
+        from mdn_sfm_tpu.config import Config, Mode
+        from mdn_sfm_tpu.trainer import Trainer
+
+        root, split_dir, _, _ = world
+        cfg = Config(
+            height=H, width=W, batch_size=2, mode=Mode.DS,
+            mask_provider="precomputed",
+            mask_dir=str(tmp_path / "empty_masks"),
+            data_path=root, split=split_dir, png=True,
+            disable_augment=True, num_workers=0,
+            log_dir=str(tmp_path / "log2"),
+        ).validate()
+        with pytest.raises(FileNotFoundError, match="precompute_masks"):
+            Trainer(cfg, synthetic=False)

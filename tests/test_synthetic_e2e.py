@@ -66,6 +66,7 @@ class TestMovingObjectWorld:
 
 
 class TestPhotometricFineTune:
+    @pytest.mark.slow  # ~3.5 min: 30 real fine-tune steps through the step
     def test_flow_epe_drops(self):
         """Phase 1 of the two-stage protocol: photometric-only training
         (w_e=0, flow+pose trainable, pose pinned by an oracle head) must cut

@@ -7,8 +7,9 @@ The profile (tools/profile_step.py) reports ~2.9 ms/step of `%copy.NNN` ops
 prints every `copy` instruction in the optimized module together with its
 operand's producing instruction and both ops' `metadata.op_name` (the JAX
 jaxpr path XLA carries through compilation), so each copy can be tied to a
-model-code boundary for a `with_layout_constraint` experiment (VERDICT r3
-item 8).
+model-code boundary for a `with_layout_constraint` experiment (round-4
+VERDICT item 8 — the experiment's outcome is recorded in PARITY.md's
+"measured dead ends").
 
 Usage: python tools/dump_hlo.py [--height 192 --width 640 --batch 4 --k 8
                                  --mode TG] [--out /tmp/kstep.hlo.txt]
@@ -68,7 +69,10 @@ def main() -> None:
     rng = jax.random.PRNGKey(1)
 
     compiled = kstep.lower(state, frozen, batches, rng).compile()
-    (text,) = [m.to_string() for m in compiled.runtime_executable().hlo_modules()][:1]
+    modules = compiled.runtime_executable().hlo_modules()
+    # some backends (plausibly the axon tunnel) return no HLO modules from
+    # the runtime executable; fall back to the pre-backend as_text (ADVICE r4)
+    text = modules[0].to_string() if modules else compiled.as_text()
     with open(args.out, "w") as f:
         f.write(text)
     print(f"wrote {len(text.splitlines())} HLO lines to {args.out}", file=sys.stderr)

@@ -25,11 +25,23 @@ self-contained, with no KITTI data and no pretrained weights:
            train a fresh MobileDecoder ONCE PER MODE in {SN, T, TG, DS, DC}
            (--modes). The patch violates the horizontal-epipolar-line
            constraint, the background satisfies it, so the learned mobile
-           map must segment the patch in every mode. DS/DC consume the
-           world's ground-truth patch mask as the instance union
-           ("semantic-GT" masks — the generate_mobile_gt --from_semantic_gt
-           analog), with identity augmentation so the precomputed masks stay
-           aligned (cfg.disable_augment).
+           map must segment the patch in every mode. DS/DC consume an
+           instance-union supervision source selected by --ds_providers
+           (one training run per (mode, provider) pair):
+             semantic_gt   the world's ground-truth patch mask (the
+                           generate_mobile_gt --from_semantic_gt analog;
+                           default, round-4 behavior)
+             maskrcnn@N    the LIVE fused MaskRCNNProvider at
+                           d2_infer_scale=N with the crafted brightness
+                           detector (tests/fixtures.py) — requires
+                           --bright_world so the patch is detectable.
+                           N = 1024/height is the reference's shortest-
+                           edge-1024 resolution; smaller N measures how
+                           much metric the reduced-res live path loses
+                           (round-4 VERDICT item 3; the mask-IoU
+                           deviation itself is quantify_d2_scale.py)
+           All DS/DC rows train with identity augmentation
+           (cfg.disable_augment) so rows are comparable.
 
   eval     flow EPE vs ground truth (before/after phase 1) and, per mode,
            mask accuracy/precision/recall/F1/Dice vs the known patch mask —
@@ -52,7 +64,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import numpy as np  # noqa: E402
 
@@ -113,9 +126,22 @@ def run(args) -> dict:
     h, w, bs = args.height, args.width, args.batch_size
     results: dict = {}
 
+    # world geometry knobs: the default obj_shift=3 px violation is only
+    # ~1.3x this world's p95 threshold, which is BELOW TG's operating
+    # envelope — the gauss division (/5..13.8) then puts the whole TG
+    # supervision map under the sigmoid's non-triviality equilibrium
+    # (m* ~ e/2alpha) and no training budget recovers it (measured round 5:
+    # 6000 steps @ 3x lr -> all-zero map). KITTI's envelope has violations
+    # >~5x the p95 (README threshold 9.22, object residuals tens of px);
+    # --obj_shift 12 reproduces that ratio on this world.
+    world_kw = dict(
+        bg_shift=args.bg_shift, obj_shift=args.obj_shift,
+        obj_size=args.obj_size or None, bright_object=args.bright_world,
+    )
+
     # one fixed eval world + a stream of training worlds
     ev_colors, ev_K, ev_mask, ev_flows, times = moving_object_batch(
-        args.eval_batch, h, w, seed=10_000
+        args.eval_batch, h, w, seed=10_000, **world_kw
     )
 
     def make_batches(k: int, step: int, with_masks: bool = False):
@@ -124,7 +150,7 @@ def run(args) -> dict:
         instance-union supervision for DS/DC (the semantic-GT mask path)."""
         cs, ks, ms = [], [], []
         for i in range(k):
-            c, K, m, _, _ = moving_object_batch(bs, h, w, seed=step + i)
+            c, K, m, _, _ = moving_object_batch(bs, h, w, seed=step + i, **world_kw)
             cs.append(c)
             ks.append(K)
             ms.append(m)
@@ -257,9 +283,63 @@ def run(args) -> dict:
 
     # ---------------------------------------------------- phase 2 (per mode)
     modes = [m.strip().upper() for m in args.modes.split(",") if m.strip()]
-    per_mode: dict = {}
+    ds_providers = [p.strip() for p in args.ds_providers.split(",") if p.strip()]
+
+    # crafted brightness Mask R-CNN for the maskrcnn@N provider rows: its
+    # features are local mean brightness at EVERY resolution, so the rows
+    # measure the PIPELINE's resolution sensitivity, not feature noise
+    # (same device as tools/quantify_d2_scale.py)
+    need_detector = any(m in ("DS", "DC") for m in modes) and any(
+        p.startswith("maskrcnn") for p in ds_providers
+    )
+    crafted = None
+    providers_cache: dict = {}
+    if need_detector:
+        if not args.bright_world:
+            raise SystemExit(
+                "--ds_providers maskrcnn@N needs --bright_world: the crafted "
+                "brightness detector only sees bright-on-dark objects"
+            )
+        sys.path.insert(0, os.path.join(_ROOT, "tests"))
+        import mdn_sfm_tpu.masks.maskrcnn as M
+        from fixtures import craft_brightness_detector
+
+        shapes = jax.eval_shape(
+            M.MaskRCNN(max_det=8).init, jax.random.PRNGKey(0),
+            jnp.zeros((64, 64, 3)), jnp.array(64.0), jnp.array(64.0),
+        )
+        crafted = jax.tree.map(jnp.asarray, craft_brightness_detector(shapes))
+
+    def get_provider(scale: int):
+        if scale not in providers_cache:
+            import mdn_sfm_tpu.masks.maskrcnn as M
+
+            cfgp = Config(
+                height=h, width=w, mode=Mode.DS, mask_provider="maskrcnn",
+                d2_max_instances=8, d2_infer_scale=scale,
+                d2_allow_random_weights=True, log_dir=args.log_dir,
+            ).validate()
+            prov = M.MaskRCNNProvider(cfgp)
+            prov.variables = crafted
+            providers_cache[scale] = prov
+        return providers_cache[scale]
+
+    jobs: list = []
     for mode_name in modes:
-        needs_masks = mode_name in ("DS", "DC")
+        if mode_name in ("DS", "DC"):
+            jobs += [(mode_name, p) for p in ds_providers]
+        else:
+            jobs.append((mode_name, None))
+
+    per_mode: dict = {}
+    for mode_name, provider_spec in jobs:
+        is_dsdc = mode_name in ("DS", "DC")
+        fused_prov = None
+        if is_dsdc and provider_spec.startswith("maskrcnn"):
+            fused_prov = get_provider(int(provider_spec.split("@")[1]))
+        # semantic_gt rows carry the world GT masks in the batch; maskrcnn@N
+        # rows compute masks inside the fused step
+        needs_masks = is_dsdc and fused_prov is None
         # TG's gauss division scales the supervision map by 1/dist²
         # (dist ∈ [5, 13.8] on this world ⇒ 25-190× weaker signal than T);
         # at the uniform budget the decoder barely moves within steps2
@@ -292,15 +372,22 @@ def run(args) -> dict:
             # gauss prior just covers relatively more of the small image.
             gauss_sigma1=30.0,
             gauss_sigma2=120.0,
-            # precomputed GT masks can't follow on-device flip/zoom-crop —
-            # identity augmentation keeps DS/DC supervision aligned
-            disable_augment=needs_masks,
+            # precomputed GT masks can't follow on-device flip/zoom-crop;
+            # identity augmentation also keeps the DS/DC provider rows
+            # comparable to the semantic-GT rows
+            disable_augment=is_dsdc,
             learning_rate=lr2,
             compute_dtype="bfloat16",
             donate_state=False,
             log_dir=args.log_dir,
             load_weights_folder=folder,
             models_to_load=("flownet", "posenet"),
+            **(
+                dict(mask_provider="maskrcnn",
+                     d2_infer_scale=int(provider_spec.split("@")[1]),
+                     d2_max_instances=8, d2_allow_random_weights=True)
+                if fused_prov is not None else {}
+            ),
         ).validate()
 
         models2 = T.build_models(cfg2)
@@ -311,8 +398,15 @@ def run(args) -> dict:
 
         tx2 = T.make_optimizer(cfg2, steps_per_epoch=max(steps2, 1))
         state2, frozen2 = T.create_train_state(cfg2, models2, variables2, tx2)
-        step2 = T.make_multi_train_step(cfg2, models2, tx2)
+        mask_fn = None
+        if fused_prov is not None:
+            frozen2 = dict(frozen2)
+            frozen2["maskrcnn"] = fused_prov.variables
+            mask_fn = fused_prov.union_fn
+        step2 = T.make_multi_train_step(cfg2, models2, tx2, mask_fn=mask_fn)
 
+        tag = mode_name if provider_spec in (None, "semantic_gt") \
+            else f"{mode_name}@{provider_spec}"
         rng2 = jax.random.PRNGKey(args.seed + 3)
         loss2 = None
         for d in range(max(steps2 // k, 1)):
@@ -320,7 +414,7 @@ def run(args) -> dict:
             state2, frozen2, metrics, _ = step2(state2, frozen2, batches, rng2)
             loss2 = float(metrics["loss"])
             if args.verbose:
-                print(f"[{mode_name}] phase2 dispatch {d}: loss={loss2:.4f}",
+                print(f"[{tag}] phase2 dispatch {d}: loss={loss2:.4f}",
                       file=sys.stderr)
 
         final_vars = dict(variables2)
@@ -330,7 +424,21 @@ def run(args) -> dict:
         _, mobiles = _forward(models2, final_vars, eval_colors(cfg2))
         mobile = np.minimum(mobiles[-1], mobiles[1])[..., 0]  # min-fused, (B, H, W)
 
-        row: dict = {"loss_final": loss2}
+        # record the EFFECTIVE phase-2 budget: TG rows carry a compensated
+        # steps/lr multiplier (ADVICE r4 — rows are otherwise misread as
+        # budget-equivalent)
+        row: dict = {"loss_final": loss2, "steps2": steps2, "lr2": lr2}
+        if provider_spec is not None:
+            row["provider"] = provider_spec
+        if fused_prov is not None:
+            # supervision quality on the eval worlds: how well do the live
+            # provider's union masks themselves match the GT patch?
+            sup = np.asarray(fused_prov.union_masks_from_images(
+                np.asarray(ev_colors[:, 0]), h, w)) > 0.5
+            gt_b = ev_mask > 0
+            inter = (sup & gt_b).sum()
+            union = (sup | gt_b).sum()
+            row["sup_mask_iou"] = float(inter / max(union, 1))
         row["sep"] = float(mobile[ev_mask > 0].mean() - mobile[ev_mask == 0].mean())
         acc, prec, rec, f1s, dice = get_quantitative_results(
             (mobile >= args.binary_threshold).astype(np.float32), ev_mask
@@ -350,13 +458,13 @@ def run(args) -> dict:
             if np.isfinite(f1t) and f1t > best[0]:
                 best = (f1t, float(thr))
         row["best_f1"], row["best_f1_threshold"] = best
-        per_mode[mode_name] = {kk: (round(vv, 4) if isinstance(vv, float) else vv)
-                               for kk, vv in row.items()}
+        per_mode[tag] = {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                         for kk, vv in row.items()}
 
     results["modes"] = per_mode
-    # round-3 compatible top-level fields = first mode's row
+    # round-3 compatible top-level fields = first row
     if per_mode:
-        first = per_mode[modes[0]]
+        first = per_mode[next(iter(per_mode))]
         results.update({kk: first[kk] for kk in
                         ("sep", "accuracy", "precision", "recall", "f1", "dice",
                          "best_f1", "best_f1_threshold")})
@@ -382,6 +490,23 @@ def main() -> None:
     p.add_argument("--binary_threshold", type=float, default=0.5)
     p.add_argument("--modes", default="SN,T,TG,DS,DC",
                    help="comma-separated phase-2 training modes")
+    p.add_argument("--ds_providers", default="semantic_gt",
+                   help="comma-separated DS/DC supervision sources: "
+                        "semantic_gt and/or maskrcnn@N (live fused provider "
+                        "at d2_infer_scale=N; needs --bright_world)")
+    p.add_argument("--bg_shift", type=int, default=2,
+                   help="background (camera) horizontal flow px/frame")
+    p.add_argument("--obj_shift", type=int, default=3,
+                   help="object vertical flow px/frame = epipolar violation "
+                        "magnitude; >=5x the calibrated p95 threshold is "
+                        "TG's operating envelope (see world_kw comment)")
+    p.add_argument("--obj_size", type=int, default=0,
+                   help="patch side px (0 = height//3). Keep the patch area "
+                        "under ~5%% of the image or the p95 calibration "
+                        "lands ON the object residuals and T/TG weaken")
+    p.add_argument("--bright_world", action="store_true",
+                   help="dark background + bright patch (detectable by the "
+                        "crafted brightness Mask R-CNN)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", default="/tmp/mdn_e2e_log")
     p.add_argument("--verbose", action="store_true")
