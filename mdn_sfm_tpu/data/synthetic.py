@@ -110,12 +110,18 @@ def moving_object_batch(
     gt_flows = np.zeros((batch_size, num_frames, height, width, 2), np.float32)
 
     for b in range(batch_size):
-        # bright_object: dark background (10-60) + bright patch (200-255) —
-        # makes the moving object detectable by the crafted brightness
-        # Mask R-CNN (tests/fixtures.py::craft_brightness_detector) so the
-        # DS/DC provider paths can be rehearsed end-to-end on this world
+        # bright_object: dark background + bright patch — makes the moving
+        # object detectable by the crafted brightness Mask R-CNN
+        # (tests/fixtures.py::craft_brightness_detector) so the DS/DC
+        # provider paths can be rehearsed end-to-end on this world.
+        # Background spans 10-110 (not 10-60): photometric flow training
+        # needs texture contrast, and a 50-level band starves its gradients
+        # — measured round 5: lo/hi 10/60 diverged phase-1 flow (photo loss
+        # → exact 0.0 = every warp sample out of bounds). 110 stays safely
+        # below every crafted-detector threshold (objectness fires at raw
+        # brightness ≳185, mask head ≳185, box scores ≳155).
         if bright_object:
-            base = _smooth_texture(rng, height, width, lo=10, hi=60)
+            base = _smooth_texture(rng, height, width, lo=10, hi=110)
             patch = _smooth_texture(rng, obj_size, obj_size, lo=200, hi=255)
         else:
             base = _smooth_texture(rng, height, width)

@@ -683,9 +683,17 @@ class MaskRCNNBackend:
             masks = paste_threshold_union_ready(det, boxes, out_h, out_w)
             return masks.astype(jnp.uint8), boxes, det.classes, det.scores, det.valid
 
+        def run_batch(variables, padded, nh, nw, scale, out_h, out_w):
+            def one(p, h_, w_, s):
+                return run(variables, p, h_, w_, s, out_h, out_w)
+
+            return jax.vmap(one)(padded, nh, nw, scale)
+
         if mesh is None:
             self._run = jax.jit(run, static_argnames=("out_h", "out_w"))
+            self._run_batch = jax.jit(run_batch, static_argnames=("out_h", "out_w"))
         else:
+            self._run_batch = None  # batch axis conflicts with spatial sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import SPATIAL_AXIS
@@ -717,6 +725,43 @@ class MaskRCNNBackend:
         )
         keep = valid.astype(bool)
         return masks[keep], boxes[keep], classes[keep], scores[keep]
+
+    def predict_batch(self, imgs_rgb):
+        """Batch of same-(H, W) images → list of per-image
+        (masks, boxes, classes, scores), one jitted vmapped dispatch.
+
+        Amortizes the per-image dispatch + host↔device transfer that
+        dominates offline sweeps over tens of thousands of frames
+        (tools/precompute_masks.py --batch). Per-image results are identical
+        to :meth:`predict` (vmap of the same program). Not available with a
+        spatial mesh — the batch axis would conflict with the width
+        sharding."""
+        assert self._run_batch is not None, (
+            "predict_batch is unavailable with a spatial mesh; use predict()"
+        )
+        h, w = np.asarray(imgs_rgb[0]).shape[:2]
+        pp = []
+        for im in imgs_rgb:
+            im = np.asarray(im)
+            assert im.shape[:2] == (h, w), "predict_batch needs same-size images"
+            pp.append(preprocess_np(im, self.input_hw))
+        masks, boxes, classes, scores, valid = jax.device_get(
+            self._run_batch(
+                self.variables,
+                jnp.asarray(np.stack([p[0] for p in pp])),
+                jnp.asarray(np.array([p[2] for p in pp], np.float32)),
+                jnp.asarray(np.array([p[3] for p in pp], np.float32)),
+                jnp.asarray(np.array([p[1] for p in pp], np.float32)),
+                h,
+                w,
+            )
+        )
+        out = []
+        for i in range(len(pp)):
+            keep = valid[i].astype(bool)
+            out.append((masks[i][keep], boxes[i][keep], classes[i][keep],
+                        scores[i][keep]))
+        return out
 
 
 class MaskRCNNProvider:

@@ -591,11 +591,33 @@ class Trainer:
 
     def log(self, metrics: dict, aux, log_image: bool = False, num: int = 4):
         """TensorBoard scalars + image panels (reference: trainer.py:343-382)."""
+        # the photometric loss has a DEGENERATE optimum: flow that warps
+        # every sample out of bounds makes the valid-masked mean EXACTLY 0
+        # with zero gradient (measured: a hard world diverges flow to
+        # EPE ~1e7 px and training silently continues on garbage flow).
+        # Exact 0.0 never occurs in healthy training — warn loudly once.
+        if (
+            "photo" in metrics
+            and float(metrics["photo"]) == 0.0
+            and self.step > 0
+            and not getattr(self, "_warned_photo_zero", False)
+        ):
+            self._warned_photo_zero = True
+            print(
+                f"WARNING: photometric loss is EXACTLY 0 at step {self.step} — "
+                "the flow net has likely diverged to the all-invalid-warp "
+                "degenerate optimum (every sample out of bounds; no gradient). "
+                "Check flow EPE; lower the learning rate or raise texture "
+                "contrast.",
+                flush=True,
+            )
         if self.writers is None:
             return
         w = self.writers["train"]
         for k in ("loss", "epip", "smooth", "consis", "grad_norm"):
             w.add_scalar(k, float(metrics[k]), self.step)
+        if "photo" in metrics:
+            w.add_scalar("photo", float(metrics["photo"]), self.step)
         if not log_image:
             return
         from .parallel import host_local

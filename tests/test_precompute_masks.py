@@ -123,6 +123,41 @@ class TestPrecomputeMasks:
         np.testing.assert_array_equal(masks, expected)
         assert masks.sum() > 0, "trainer served all-zero precomputed masks"
 
+    def test_batched_predict_matches_single(self, world, backend, tmp_path):
+        """predict_batch (one vmapped dispatch) must produce per-image
+        results identical to predict(), and the tool's --batch path must
+        write identical PNGs."""
+        from PIL import Image
+
+        from precompute_masks import manifest_items, precompute_masks
+
+        from mdn_sfm_tpu.data.splits import SplitLine
+
+        root, _, line_strs, _ = world
+        lines = [SplitLine.parse(s) for s in line_strs]
+        items = manifest_items(root, lines, ".png")
+        imgs = []
+        for _, path in items:
+            with Image.open(path) as im:
+                imgs.append(np.asarray(im.convert("RGB")))
+
+        batched = backend.predict_batch(imgs)
+        for img, (bm, bb, bc, bs) in zip(imgs, batched):
+            sm, sb, sc, ss = backend.predict(img)
+            np.testing.assert_array_equal(bm, sm)
+            np.testing.assert_allclose(bb, sb, rtol=1e-5, atol=1e-4)
+            np.testing.assert_array_equal(bc, sc)
+            np.testing.assert_allclose(bs, ss, rtol=1e-5, atol=1e-5)
+
+        d_single = str(tmp_path / "m1")
+        d_batch = str(tmp_path / "m2")
+        precompute_masks(backend, items, d_single, log_every=0, batch=1)
+        precompute_masks(backend, items, d_batch, log_every=0, batch=4)
+        for key, _ in items:
+            a = np.asarray(Image.open(os.path.join(d_single, f"{key}.png")))
+            b = np.asarray(Image.open(os.path.join(d_batch, f"{key}.png")))
+            np.testing.assert_array_equal(a, b)
+
     def test_trainer_fails_fast_on_empty_mask_dir(self, world, tmp_path):
         from mdn_sfm_tpu.config import Config, Mode
         from mdn_sfm_tpu.trainer import Trainer

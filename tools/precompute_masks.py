@@ -75,9 +75,16 @@ def precompute_masks(
     mask_dir: str,
     overwrite: bool = False,
     log_every: int = 25,
+    batch: int = 1,
 ) -> dict:
-    """Run ``backend.predict`` over ``items`` of (key, image-path-or-RGB-array)
-    and write ``{mask_dir}/{key}.png`` binary union masks (0/255, mode L).
+    """Run the backend over ``items`` of (key, image-path-or-RGB-array) and
+    write ``{mask_dir}/{key}.png`` binary union masks (0/255, mode L).
+
+    ``batch`` > 1 groups consecutive SAME-SIZE images into one vmapped
+    device dispatch (``MaskRCNNBackend.predict_batch``) — the per-image
+    dispatch/transfer otherwise dominates a 22k-frame sweep. KITTI raw
+    drives have a handful of distinct frame sizes; consecutive sorted keys
+    share a drive, so groups flush rarely.
 
     Shared by the CLI below and the fixture-world e2e test — the test proves
     the written files round-trip through PrecomputedMaskProvider with the
@@ -88,7 +95,31 @@ def precompute_masks(
     os.makedirs(mask_dir, exist_ok=True)
     stats = {"written": 0, "skipped": 0, "failed": 0, "empty": 0}
     t0 = time.time()
-    for i, (key, src) in enumerate(items):
+    use_batch = batch > 1 and getattr(backend, "predict_batch", None) is not None
+    pending: list[tuple[str, np.ndarray, str]] = []  # (key, img, out_path)
+
+    def flush():
+        if not pending:
+            return
+        if use_batch and len(pending) > 1:
+            results = backend.predict_batch([p[1] for p in pending])
+        else:
+            results = [backend.predict(p[1]) for p in pending]
+        for (key, img, out_path), (masks, _, _, _) in zip(pending, results):
+            if len(masks):
+                union = np.any(masks != 0, axis=0) * np.uint8(255)
+            else:
+                union = np.zeros(img.shape[:2], np.uint8)
+                stats["empty"] += 1
+            Image.fromarray(union, mode="L").save(out_path)
+            stats["written"] += 1
+            if log_every and stats["written"] % log_every == 0:
+                rate = stats["written"] / max(time.time() - t0, 1e-9)
+                print(f"written={stats['written']} ({rate:.2f} masks/s)",
+                      file=sys.stderr, flush=True)
+        pending.clear()
+
+    for key, src in items:
         out_path = os.path.join(mask_dir, f"{key}.png")
         if not overwrite and os.path.exists(out_path):
             stats["skipped"] += 1
@@ -102,18 +133,13 @@ def precompute_masks(
                 img = np.asarray(im.convert("RGB"))
         else:
             img = np.asarray(src)
-        masks, _, _, _ = backend.predict(img)
-        if len(masks):
-            union = (np.any(masks != 0, axis=0) * np.uint8(255))
-        else:
-            union = np.zeros(img.shape[:2], np.uint8)
-            stats["empty"] += 1
-        Image.fromarray(union, mode="L").save(out_path)
-        stats["written"] += 1
-        if log_every and stats["written"] % log_every == 0:
-            rate = stats["written"] / max(time.time() - t0, 1e-9)
-            print(f"[{i + 1}] written={stats['written']} "
-                  f"({rate:.2f} masks/s)", file=sys.stderr, flush=True)
+        if pending and (
+            len(pending) >= max(batch, 1)
+            or pending[0][1].shape != img.shape
+        ):
+            flush()
+        pending.append((key, img, out_path))
+    flush()
     return stats
 
 
@@ -136,6 +162,9 @@ def main() -> None:
                    help="process keys [shard_index::shard_count] (fan out "
                         "across machines; output files are disjoint)")
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--batch", type=int, default=8,
+                   help="same-size images per vmapped device dispatch "
+                        "(1 = per-image; incompatible with --spatial_shards)")
     p.add_argument("--max_det", type=int, default=32)
     p.add_argument("--score_thresh", type=float, default=0.3,
                    help="reference cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST "
@@ -180,7 +209,8 @@ def main() -> None:
         score_thresh=args.score_thresh, input_hw=input_hw, mesh=mesh,
     )
     stats = precompute_masks(backend, items, args.mask_dir,
-                             overwrite=args.overwrite)
+                             overwrite=args.overwrite,
+                             batch=1 if mesh is not None else args.batch)
     print(json.dumps({"mask_dir": args.mask_dir, **stats}))
 
 

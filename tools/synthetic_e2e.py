@@ -231,6 +231,18 @@ def run(args) -> dict:
         loss1 = float(metrics["photo"])
         if args.verbose:
             print(f"phase1 dispatch {d}: photo={loss1:.4f}", file=sys.stderr)
+        # photometric loss has a DEGENERATE optimum: push every warp sample
+        # out of bounds and the valid-masked mean is exactly 0 with zero
+        # gradient (measured round 5: a too-hard world diverges flow to
+        # EPE ~1e7 px within 200 steps and every phase-2 row is garbage).
+        # Fail fast instead of silently training 2 h on broken flow.
+        if loss1 == 0.0 and d >= 1:
+            raise SystemExit(
+                f"phase-1 photometric loss hit exactly 0 at dispatch {d}: "
+                "flow warped every sample out of bounds (degenerate optimum)."
+                " The world is too hard for this lr/budget — reduce "
+                "--obj_shift, raise texture contrast, or lower --lr1."
+            )
     results["photo_final"] = loss1
 
     # phase-1 weights back into a full variables tree, saved in the reference
