@@ -689,11 +689,44 @@ class MaskRCNNBackend:
 
             return jax.vmap(one)(padded, nh, nw, scale)
 
+        mean_bgr = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+
+        def run_union_u8(variables, resized_u8, scale, out_h, out_w):
+            """uint8 shortest-edge-resized input → union mask only.
+
+            Moves BGR/normalize/pad on device and reduces the detections to
+            ONE union mask inside the program: host↔device traffic per image
+            drops from 24 MB f32 padded input + max_det full-res masks out
+            (~15 MB) to the resized u8 frame in (~4 MB) + (out_h, out_w) u8
+            union out (~0.5 MB). The u8-resize input is also closer to
+            detectron2's own preprocessing than the f32 path: detectron2's
+            ResizeShortestEdge resizes the uint8 image (PIL/cv2 semantics)
+            before float conversion."""
+            nh, nw = resized_u8.shape[:2]  # static per specialization
+            bgr = resized_u8[..., ::-1].astype(jnp.float32) - mean_bgr
+            padded = jnp.zeros((sh, sw, 3), jnp.float32).at[:nh, :nw].set(bgr)
+            det = self.model.apply(
+                variables, padded, jnp.float32(nh), jnp.float32(nw)
+            )
+            boxes = det.boxes / scale
+            masks = paste_threshold_union_ready(det, boxes, out_h, out_w)
+            return jnp.any(masks, axis=0).astype(jnp.uint8)
+
+        def run_union_u8_batch(variables, resized_u8, scale, out_h, out_w):
+            return jax.vmap(
+                lambda im, s: run_union_u8(variables, im, s, out_h, out_w)
+            )(resized_u8, scale)
+
         if mesh is None:
             self._run = jax.jit(run, static_argnames=("out_h", "out_w"))
             self._run_batch = jax.jit(run_batch, static_argnames=("out_h", "out_w"))
+            self._run_union_u8_batch = jax.jit(
+                run_union_u8_batch, static_argnames=("out_h", "out_w")
+            )
         else:
-            self._run_batch = None  # batch axis conflicts with spatial sharding
+            # batch axis conflicts with spatial sharding
+            self._run_batch = None
+            self._run_union_u8_batch = None
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import SPATIAL_AXIS
@@ -762,6 +795,40 @@ class MaskRCNNBackend:
             out.append((masks[i][keep], boxes[i][keep], classes[i][keep],
                         scores[i][keep]))
         return out
+
+    def predict_union_batch(self, imgs_rgb):
+        """Batch of same-(H, W) images → (B, H, W) uint8 0/1 union masks in
+        one vmapped dispatch with minimal host↔device transfer (the
+        union-only / u8-input program — see ``run_union_u8``). The fast
+        path for offline union-mask sweeps (tools/precompute_masks.py);
+        per-instance results still come from :meth:`predict`."""
+        assert self._run_union_u8_batch is not None, (
+            "predict_union_batch is unavailable with a spatial mesh"
+        )
+        import cv2
+
+        h, w = np.asarray(imgs_rgb[0]).shape[:2]
+        sh, sw = self.input_hw
+        scale = min(MIN_SIZE_TEST / min(h, w), MAX_SIZE_TEST / max(h, w),
+                    sh / h, sw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = []
+        for im in imgs_rgb:
+            im = np.asarray(im)
+            assert im.shape[:2] == (h, w), "same-size images required"
+            resized.append(cv2.resize(im, (nw, nh)))  # uint8 in, uint8 out
+        return np.asarray(jax.device_get(self._run_union_u8_batch(
+            self.variables,
+            jnp.asarray(np.stack(resized)),
+            jnp.full((len(resized),), scale, jnp.float32),
+            h,
+            w,
+        )))
+
+    def predict_union(self, img_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 → (H, W) uint8 0/1 union mask (the same program
+        as :meth:`predict_union_batch` at B=1 — bitwise identical to it)."""
+        return self.predict_union_batch([img_rgb])[0]
 
 
 class MaskRCNNProvider:

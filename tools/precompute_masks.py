@@ -95,23 +95,29 @@ def precompute_masks(
     os.makedirs(mask_dir, exist_ok=True)
     stats = {"written": 0, "skipped": 0, "failed": 0, "empty": 0}
     t0 = time.time()
-    use_batch = batch > 1 and getattr(backend, "predict_batch", None) is not None
+    # the union-only / u8-input program moves ~40× less data per image than
+    # predict() (no per-instance full-res masks, no f32 padded input) —
+    # always preferred when the backend has it (spatial-mesh backends don't)
+    use_union = getattr(backend, "_run_union_u8_batch", None) is not None
     pending: list[tuple[str, np.ndarray, str]] = []  # (key, img, out_path)
 
     def flush():
         if not pending:
             return
-        if use_batch and len(pending) > 1:
-            results = backend.predict_batch([p[1] for p in pending])
+        if use_union:
+            unions = backend.predict_union_batch([p[1] for p in pending])
         else:
-            results = [backend.predict(p[1]) for p in pending]
-        for (key, img, out_path), (masks, _, _, _) in zip(pending, results):
-            if len(masks):
-                union = np.any(masks != 0, axis=0) * np.uint8(255)
-            else:
-                union = np.zeros(img.shape[:2], np.uint8)
+            unions = [
+                np.any(m != 0, axis=0) if len(m) else
+                np.zeros(p[1].shape[:2], np.uint8)
+                for p, (m, _, _, _) in
+                zip(pending, (backend.predict(p[1]) for p in pending))
+            ]
+        for (key, img, out_path), union in zip(pending, unions):
+            union = np.asarray(union, np.uint8)
+            if not union.any():
                 stats["empty"] += 1
-            Image.fromarray(union, mode="L").save(out_path)
+            Image.fromarray(union * np.uint8(255), mode="L").save(out_path)
             stats["written"] += 1
             if log_every and stats["written"] % log_every == 0:
                 rate = stats["written"] / max(time.time() - t0, 1e-9)
