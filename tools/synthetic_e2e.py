@@ -88,23 +88,30 @@ def pose_oracle_variables(variables: dict) -> dict:
 
 def _forward(models, variables, colors):
     """Clean (un-augmented) forward of both reference frames at scale 0.
-    Returns ({t: flow_px}, {t: mobile}, axisangle, translation)."""
+    Returns ({t: flow_px}, {t: mobile}, axisangle, translation).
+
+    Jitted: the eager path dispatches every op through the ~10 ms tunnel
+    RTT (hundreds of ops × 2 frames ≈ MINUTES per call — measured as the
+    mystery multi-minute stall before each run's first phase-1 print)."""
+    import jax
     import jax.numpy as jnp
 
-    flows_px, mobiles = {}, {}
-    tgt = colors[(0, 0)]
-    h, w = tgt.shape[1:3]
-    for t in (-1, 1):
-        ref = colors[(t, 0)]
+    @jax.jit
+    def fwd(variables, tgt, ref):
         flows, feats = models.flow.apply(variables["flownet"], tgt, ref)
         aa, tr = models.pose.apply(variables["posenet"], tgt, ref)
         mob = models.mobile.apply(
             {"params": variables["mobile_decoder"]["params"]}, feats, aa, tr
         )
-        flows_px[t] = np.asarray(flows[0].astype(jnp.float32)) * np.array(
-            [w, h], np.float32
-        )
-        mobiles[t] = np.asarray(mob[0].astype(jnp.float32))
+        return flows[0].astype(jnp.float32), mob[0].astype(jnp.float32)
+
+    flows_px, mobiles = {}, {}
+    tgt = colors[(0, 0)]
+    h, w = tgt.shape[1:3]
+    for t in (-1, 1):
+        flow0, mob0 = jax.device_get(fwd(variables, tgt, colors[(t, 0)]))
+        flows_px[t] = np.asarray(flow0) * np.array([w, h], np.float32)
+        mobiles[t] = np.asarray(mob0)
     return flows_px, mobiles
 
 
