@@ -25,16 +25,25 @@ class SplitLine(NamedTuple):
         return cls(folder, frame_index, side)
 
 
+# manifest side tokens: eigen_zhou uses l/r; KITTI camera ids 2/3 are
+# accepted aliases (data/kitti.py::SIDE_MAP) — canonicalize so aliased
+# manifests resolve to the SAME mask key
+_CANONICAL_SIDE = {"l": "l", "2": "l", "r": "r", "3": "r"}
+
+
 def sample_key(line: SplitLine) -> str:
     """Canonical per-sample key shared by the trainer's mask-provider lookup
     and ``tools/precompute_masks.py`` mask filenames:
-    ``{folder with / -> _}_{frame_index}_{side}``.
+    ``{folder with / -> _}_{frame_index}_{canonical side l|r}``.
 
     The side IS part of the key: eigen_zhou pairs l/r manifest lines for
     17,930 (folder, frame) combinations and the two cameras see different
     scenes — a side-less key would serve one camera's precomputed mask to
-    the other (the pre-round-5 scheme did exactly that)."""
-    return f"{line.folder.replace('/', '_')}_{line.frame_index}_{line.side}"
+    the other (the pre-round-5 scheme did exactly that). Side tokens are
+    canonicalized ('2' ≡ 'l', '3' ≡ 'r') so a mixed-alias manifest can't
+    silently miss precomputed masks."""
+    side = _CANONICAL_SIDE.get(line.side, line.side)
+    return f"{line.folder.replace('/', '_')}_{line.frame_index}_{side}"
 
 
 def split_path(repo_root: str, split: str, subset: str) -> str:

@@ -121,20 +121,25 @@ class Trainer:
         self.mask_provider = build_mask_provider(cfg)
         # PrecomputedMaskProvider serves ZEROS for missing files (by design —
         # partial coverage is fine), so a mask_dir/key-scheme mismatch would
-        # silently train DS/DC against all-zero masks. Probe a sample of keys
-        # and fail fast when NOTHING matches.
+        # silently train DS/DC against all-zero masks. Check ALL keys (cheap
+        # os.path.exists sweep, <1 s even for eigen_zhou's 40k lines): fail
+        # fast when NOTHING matches, report the coverage otherwise.
         if cfg.mask_provider == "precomputed" and self.sample_keys:
-            probe = self.sample_keys[:: max(1, len(self.sample_keys) // 100)]
             hits = sum(
-                os.path.exists(os.path.join(cfg.mask_dir, f"{k}.png")) for k in probe
+                os.path.exists(os.path.join(cfg.mask_dir, f"{k}.png"))
+                for k in self.sample_keys
             )
+            n = len(self.sample_keys)
             if hits == 0:
                 raise FileNotFoundError(
-                    f"mask_provider=precomputed found 0/{len(probe)} probed keys in "
-                    f"{cfg.mask_dir!r} (e.g. {probe[0]}.png) — every mask would load "
-                    "as zeros. Generate masks with tools/precompute_masks.py "
-                    "(the key scheme is data/splits.py::sample_key)."
+                    f"mask_provider=precomputed found 0/{n} sample keys in "
+                    f"{cfg.mask_dir!r} (e.g. {self.sample_keys[0]}.png) — every "
+                    "mask would load as zeros. Generate masks with "
+                    "tools/precompute_masks.py (the key scheme is "
+                    "data/splits.py::sample_key)."
                 )
+            print(f"precomputed masks: {hits}/{n} sample keys covered "
+                  f"({hits / n:.1%}); missing keys train with all-zero masks")
 
         # inline validation set (reference: trainer.py:76-80) — KITTI-2015
         # scene-flow pairs; skipped when the data isn't on disk

@@ -122,6 +122,20 @@ class TestSplits:
         assert line.frame_index == 667
         assert line.side == "r"
 
+    def test_sample_key_canonicalizes_side_aliases(self):
+        """'2'/'3' camera-id side tokens (data/kitti.py::SIDE_MAP aliases)
+        must key identically to 'l'/'r' — otherwise a mixed-alias manifest
+        silently misses precomputed masks for half its lines."""
+        from mdn_sfm_tpu.data.splits import sample_key
+
+        assert sample_key(SplitLine.parse("d/x 3 l")) == \
+            sample_key(SplitLine.parse("d/x 3 2"))
+        assert sample_key(SplitLine.parse("d/x 3 r")) == \
+            sample_key(SplitLine.parse("d/x 3 3"))
+        assert sample_key(SplitLine.parse("d/x 3 l")) != \
+            sample_key(SplitLine.parse("d/x 3 r"))
+        assert sample_key(SplitLine.parse("a/b 7 l")) == "a_b_7_l"
+
     def test_read_and_shard(self):
         with tempfile.TemporaryDirectory() as d:
             p = os.path.join(d, "train_files.txt")

@@ -131,6 +131,7 @@ class TestPrecomputeMasks:
         np.testing.assert_array_equal(masks, expected)
         assert masks.sum() > 0, "trainer served all-zero precomputed masks"
 
+    @pytest.mark.slow  # compiles 3 extra Mask R-CNN programs at 256x384
     def test_batched_predict_matches_single(self, world, backend, tmp_path):
         """predict_batch (one vmapped dispatch) must produce per-image
         results identical to predict(), and the tool's --batch path must

@@ -46,6 +46,9 @@ def main() -> None:
     from mdn_sfm_tpu.masks.maskrcnn import MaskRCNNBackend
 
     backend = MaskRCNNBackend(max_det=args.max_det)
+    # trim to a batch multiple: a trailing partial batch would jit a fresh
+    # specialization INSIDE the timed region and corrupt the comparison
+    args.n -= args.n % args.batch
     imgs = [make_street_scene(375, 1242, seed=i)[0] for i in range(args.n)]
 
     # warm both programs (compile)

@@ -86,24 +86,34 @@ def pose_oracle_variables(variables: dict) -> dict:
     return variables
 
 
+_FWD_CACHE: dict = {}
+
+
 def _forward(models, variables, colors):
     """Clean (un-augmented) forward of both reference frames at scale 0.
     Returns ({t: flow_px}, {t: mobile}, axisangle, translation).
 
-    Jitted: the eager path dispatches every op through the ~10 ms tunnel
-    RTT (hundreds of ops × 2 frames ≈ MINUTES per call — measured as the
-    mystery multi-minute stall before each run's first phase-1 print)."""
+    Jitted and cached per ``models`` object: the eager path dispatches
+    every op through the ~10 ms tunnel RTT (hundreds of ops × 2 frames ≈
+    MINUTES per call — measured as the mystery multi-minute stall before
+    each run's first phase-1 print), and a fresh ``jax.jit`` per call
+    would still retrace the three networks every time."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def fwd(variables, tgt, ref):
-        flows, feats = models.flow.apply(variables["flownet"], tgt, ref)
-        aa, tr = models.pose.apply(variables["posenet"], tgt, ref)
-        mob = models.mobile.apply(
-            {"params": variables["mobile_decoder"]["params"]}, feats, aa, tr
-        )
-        return flows[0].astype(jnp.float32), mob[0].astype(jnp.float32)
+    fwd = _FWD_CACHE.get(id(models))
+    if fwd is None:
+
+        @jax.jit
+        def fwd(variables, tgt, ref):
+            flows, feats = models.flow.apply(variables["flownet"], tgt, ref)
+            aa, tr = models.pose.apply(variables["posenet"], tgt, ref)
+            mob = models.mobile.apply(
+                {"params": variables["mobile_decoder"]["params"]}, feats, aa, tr
+            )
+            return flows[0].astype(jnp.float32), mob[0].astype(jnp.float32)
+
+        _FWD_CACHE[id(models)] = fwd
 
     flows_px, mobiles = {}, {}
     tgt = colors[(0, 0)]
@@ -132,6 +142,37 @@ def run(args) -> dict:
 
     h, w, bs = args.height, args.width, args.batch_size
     results: dict = {}
+
+    # validate the run spec BEFORE the expensive phase-1 training: a typo'd
+    # --ds_providers entry must not crash (or silently alias to the
+    # semantic-GT path) after tens of minutes of flow training
+    modes = [m.strip().upper() for m in args.modes.split(",") if m.strip()]
+    ds_providers = [p.strip() for p in args.ds_providers.split(",") if p.strip()]
+    for spec in ds_providers:
+        if spec == "semantic_gt":
+            continue
+        if spec.startswith("maskrcnn@"):
+            try:
+                scale = int(spec.split("@", 1)[1])
+            except ValueError:
+                raise SystemExit(f"--ds_providers: bad scale in {spec!r}")
+            if (h * scale) % 64 or (w * scale) % 64:
+                raise SystemExit(
+                    f"--ds_providers {spec!r}: inference shape "
+                    f"{h * scale}x{w * scale} must be divisible by 64 (FPN)"
+                )
+            continue
+        raise SystemExit(
+            f"--ds_providers: unknown spec {spec!r} (use semantic_gt or "
+            "maskrcnn@N)"
+        )
+    if any(m in ("DS", "DC") for m in modes) and any(
+        p != "semantic_gt" for p in ds_providers
+    ) and not args.bright_world:
+        raise SystemExit(
+            "--ds_providers maskrcnn@N needs --bright_world: the crafted "
+            "brightness detector only sees bright-on-dark objects"
+        )
 
     # world geometry knobs: the default obj_shift=3 px violation is only
     # ~1.3x this world's p95 threshold, which is BELOW TG's operating
@@ -301,9 +342,6 @@ def run(args) -> dict:
     results["calibrated_threshold_p95"] = round(calibrated, 4)
 
     # ---------------------------------------------------- phase 2 (per mode)
-    modes = [m.strip().upper() for m in args.modes.split(",") if m.strip()]
-    ds_providers = [p.strip() for p in args.ds_providers.split(",") if p.strip()]
-
     # crafted brightness Mask R-CNN for the maskrcnn@N provider rows: its
     # features are local mean brightness at EVERY resolution, so the rows
     # measure the PIPELINE's resolution sensitivity, not feature noise
@@ -314,11 +352,6 @@ def run(args) -> dict:
     crafted = None
     providers_cache: dict = {}
     if need_detector:
-        if not args.bright_world:
-            raise SystemExit(
-                "--ds_providers maskrcnn@N needs --bright_world: the crafted "
-                "brightness detector only sees bright-on-dark objects"
-            )
         sys.path.insert(0, os.path.join(_ROOT, "tests"))
         import mdn_sfm_tpu.masks.maskrcnn as M
         from fixtures import craft_brightness_detector
